@@ -1,0 +1,129 @@
+"""The three SPADE-family networks (reference: spade/models/networks.py).
+
+- ``Encoder``           : VAE encoder, 5 downsample blocks -> (mean, logvar)
+                          heads (networks.py:8-34)
+- ``SpadeGenerator``    : latent -> Dense -> 6x [SPADE resblock + 2x nearest
+                          upsample] -> 4x4 conv head (networks.py:37-57)
+- ``SpadeDiscriminator``: multi-scale PatchGAN returning all intermediate
+                          feature maps for feature matching (networks.py:60-76)
+
+Design notes for TPU: all spatial ops are static-shape NHWC convs that XLA
+tiles onto the MXU; the 2x upsample is a reshape-broadcast (nearest), which
+fuses into the following conv's input.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from moonsuperresolution_tpu.models.layers import (
+    DownsampleBlock,
+    SpadeResidualBlock,
+    glorot_uniform,
+    leaky_relu,
+)
+
+
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """Keras UpSampling2D (nearest) as a reshape-broadcast — no gather."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class Encoder(nn.Module):
+    """VAE encoder: downsample stack (64,128,256,512,512; first block without
+    norm) -> flatten -> Dense mean / Dense logvar (networks.py:8-34).
+
+    The reference names the second head "variance" but uses it as a
+    log-variance everywhere (sampling.py:16 exp(0.5*v), losses.py:8-9 exp(v));
+    we call it ``logvar``.
+    """
+
+    latent_dim: int = 256
+    downsample_factor: int = 64
+    alpha: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        f = self.downsample_factor
+        x = DownsampleBlock(f, 3, apply_norm=False, alpha=self.alpha, name="down_0")(x)
+        x = DownsampleBlock(2 * f, 3, alpha=self.alpha, name="down_1")(x)
+        x = DownsampleBlock(4 * f, 3, alpha=self.alpha, name="down_2")(x)
+        x = DownsampleBlock(8 * f, 3, alpha=self.alpha, name="down_3")(x)
+        x = DownsampleBlock(8 * f, 3, alpha=self.alpha, name="down_4")(x)
+        x = x.reshape(x.shape[0], -1)
+        mean = nn.Dense(self.latent_dim, kernel_init=glorot_uniform, name="mean")(x)
+        logvar = nn.Dense(self.latent_dim, kernel_init=glorot_uniform,
+                          name="variance")(x)
+        return mean, logvar
+
+
+class SpadeGenerator(nn.Module):
+    """SPADE generator (networks.py:37-57).
+
+    latent [B, latent_dim] -> Dense(1024*sw*sw) -> [B, sw, sw, 1024] with
+    sw = image_size / 64, then six SPADE residual blocks with channel plan
+    (1024, 1024, 1024, 512, 256, 128), each followed by a 2x nearest
+    upsample; final LeakyReLU(0.2) + 4x4 conv to one channel.  The
+    conditioning map (ortho + low-res DEM) is injected into every resblock.
+    """
+
+    image_size: int
+    alpha: float = 0.2
+    stats: str = "batch"
+    channel_plan: tuple = (1024, 1024, 1024, 512, 256, 128)
+
+    @nn.compact
+    def __call__(self, latent: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
+        sw = self.image_size // 2**6
+        if sw < 1:
+            raise ValueError(f"image_size {self.image_size} too small (needs >= 64)")
+        x = nn.Dense(16 * sw * sw * 64, kernel_init=glorot_uniform,
+                     name="dense")(latent)
+        x = x.reshape(-1, sw, sw, 1024)
+        for i, ch in enumerate(self.channel_plan):
+            x = SpadeResidualBlock(ch, alpha=self.alpha, stats=self.stats,
+                                   name=f"resblock_{i}")(x, source)
+            x = upsample2x_nearest(x)
+        x = leaky_relu(x, 0.2)
+        x = nn.Conv(1, (4, 4), padding="SAME", kernel_init=glorot_uniform,
+                    name="head")(x)
+        return x
+
+
+class SpadeDiscriminator(nn.Module):
+    """Multi-scale PatchGAN discriminator (networks.py:60-76).
+
+    Concatenates source (2ch) and target (1ch), runs four downsample blocks
+    (64, 128, 256 at stride 2; 512 at stride 1) and a final 4x4 VALID conv to
+    one logit map.  Returns all five intermediate maps [x1..x5]; the last is
+    the adversarial logit map, the rest feed the feature-matching loss.
+    """
+
+    downsample_factor: int = 64
+    alpha: float = 0.2
+
+    @nn.compact
+    def __call__(self, source: jnp.ndarray, target: jnp.ndarray):
+        f = self.downsample_factor
+        x = jnp.concatenate([source, target], axis=-1)
+        x1 = DownsampleBlock(f, 4, apply_norm=False, alpha=self.alpha,
+                             name="down_0")(x)
+        x2 = DownsampleBlock(2 * f, 4, alpha=self.alpha, name="down_1")(x1)
+        x3 = DownsampleBlock(4 * f, 4, alpha=self.alpha, name="down_2")(x2)
+        x4 = DownsampleBlock(8 * f, 4, strides=1, alpha=self.alpha,
+                             name="down_3")(x3)
+        x5 = nn.Conv(1, (4, 4), padding="VALID", kernel_init=glorot_uniform,
+                     name="head")(x4)
+        return [x1, x2, x3, x4, x5]
+
+
+def sample_latent(rng, mean: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian reparameterization z = mean + exp(0.5*logvar) * eps
+    (reference: spade/models/sampling.py:5-17)."""
+    import jax
+
+    eps = jax.random.normal(rng, mean.shape, dtype=mean.dtype)
+    return mean + jnp.exp(0.5 * logvar) * eps
