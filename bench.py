@@ -1,0 +1,97 @@
+"""Headline benchmark: end-to-end SR patch throughput at 512x512.
+
+Measures the production inference path — on-device patch extraction,
+normalization, GauGAN generator forwards, Gaussian-weighted uncertainty
+blending — in patches/sec on one chip, i.e. the work process_full_tiles.py
+does per tile in the reference's production config (run_GAN.sh:24-26:
+image 512 / stride 64 / batch 12 / 1x V100 / 6 h wall limit).
+
+Baseline derivation (the reference publishes no numbers, BASELINE.md):
+the production SLURM config must finish <= 547,515 patch forwards
+(1035 tiles x 529 patches, process_full_tiles.py:322-324) within its 6 h
+V100 allocation => >= 25.35 patches/sec implied.  ``vs_baseline`` is
+measured throughput over that implied rate.
+
+Prints ONE JSON line.  Env knobs: BENCH_SMALL=1 (tiny config for CPU),
+BENCH_BATCH, BENCH_TILES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_PATCHES_PER_SEC = 547515 / (6 * 3600)  # 25.35, see module docstring
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL") == "1"
+    image_size = 128 if small else 512
+    stride = image_size // 8
+    tile_size = 256 if small else 1024
+    batch = int(os.environ.get("BENCH_BATCH", 4 if small else 16))
+    n_tiles = int(os.environ.get("BENCH_TILES", 2 if small else 4))
+
+    from moonsuperresolution_tpu.config import DSRConfig, ModelConfig, TrainConfig
+    from moonsuperresolution_tpu.infer.engine import DEMSuperResolution, TileGeometry
+    from moonsuperresolution_tpu.train.trainers import GauGANTrainer
+
+    cfg = TrainConfig(
+        model=ModelConfig(variant="gaugan", image_size=image_size,
+                          latent_dim=256),
+        batch_size=batch,
+    )
+    trainer = GauGANTrainer(cfg)
+    params = trainer.init(jax.random.PRNGKey(0)).params
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params,
+    )
+
+    def model_fn(source, rng):
+        fake, _, _ = trainer._generate(params, source.astype(jnp.bfloat16), rng)
+        return fake[..., 0].astype(jnp.float32)
+
+    dsr_cfg = DSRConfig(image_size=image_size, stride=stride,
+                        batch_size=batch, tile_size=tile_size,
+                        compute_dtype="bfloat16")
+    engine = DEMSuperResolution(dsr_cfg, model=model_fn)
+    geom = engine.geom
+
+    # Synthetic padded rasters: one slab's worth reused per tile.
+    rng = np.random.default_rng(0)
+    slab = geom.slab
+    engine.img_padded = (rng.standard_normal((slab, slab)) * 30 + 128).astype(
+        np.float32)
+    engine.dem_padded = (rng.standard_normal((slab, slab)) * 50 + 1500).astype(
+        np.float32)
+    engine.dem_shape = (tile_size, tile_size)
+
+    # Warmup / compile.
+    out = engine.process_tile(0, 0)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(n_tiles):
+        out = engine.process_tile(0, 0)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    patches = n_tiles * geom.grid**2
+    pps = patches / dt
+    result = {
+        "metric": f"sr_patches_per_sec_{image_size}",
+        "value": round(pps, 2),
+        "unit": "patches/s",
+        "vs_baseline": round(pps / BASELINE_PATCHES_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,354 @@
+"""Large-raster DEM super-resolution engine.
+
+TPU-native redesign of the reference's host-loop inference
+(process_full_tiles.py:309-775).  The raster is cut into 1024-px tiles with
+an (image_size - stride) halo; for each tile, *everything between raster
+slicing and the blended mean/std/coverage planes runs on-device in a single
+jitted program*:
+
+    patch-grid extraction -> per-patch validity + min-max normalization ->
+    chunked generator forwards -> per-patch denormalization -> purge crop ->
+    Gaussian-weighted two-pass moment fold (ops/blend.py)
+
+versus the reference, which runs per-patch numpy normalization, one
+host->device->host round trip per batch, and a sequential Welford loop per
+tile (process_full_tiles.py:611-659).  The overlapping generations double as
+a Monte-Carlo uncertainty estimate exactly as in the reference: ~64
+generations per pixel at stride = image_size/8, Gaussian-weighted, with
+std = sqrt(S / w_sum) (process_full_tiles.py:543-594).
+
+Host work that remains host work: nodata interpolation (scipy, infer/fill.py)
+and the one-time /16 low-res DEM synthesis over the full raster.  Tiles
+stream through the device with async dispatch so the host slices tile i+1
+while the TPU processes tile i.
+
+The tile list is the distribution point (process_full_tiles.py:493-505):
+``shard_index / num_shards`` splits it across processes or pods, and within a
+process the patch batch axis is shardable over a device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moonsuperresolution_tpu.config import DSRConfig
+from moonsuperresolution_tpu.geo.tiff import TiffReader, write_geotiff
+from moonsuperresolution_tpu.infer.fill import fill_nodata
+from moonsuperresolution_tpu.ops.blend import (
+    extract_patches,
+    fold_weighted_moments,
+    gaussian_blend_kernel,
+)
+
+
+def load_model_fn(
+    model_path: Optional[str],
+    kind: str,
+    image_size: int,
+    latent_dim: int = 256,
+):
+    """Build the patch-batch model callable.
+
+    ``model_path`` empty/None -> identity model: returns the low-res DEM
+    channel unchanged, the reference's pipeline-fidelity dry-run mode
+    (process_full_tiles.py:309-323).  Otherwise restores an Orbax checkpoint
+    of the given variant (utils/checkpoint.py) and returns a closure
+    ``fn(source[B,H,W,2], rng) -> [B,H,W]`` over frozen params.
+    """
+    if not model_path:
+        return None
+    from moonsuperresolution_tpu.config import ModelConfig, TrainConfig
+    from moonsuperresolution_tpu.train.trainers import GauGANTrainer
+    from moonsuperresolution_tpu.utils.checkpoint import restore_params
+
+    cfg = TrainConfig(
+        model=ModelConfig(variant=kind, image_size=image_size,
+                          latent_dim=latent_dim),
+        batch_size=1,
+    )
+    trainer = GauGANTrainer(cfg)
+    params = restore_params(model_path)
+
+    def fn(source, rng):
+        fake, _, _ = trainer._generate(params, source, rng)
+        return fake[..., 0]
+
+    return fn
+
+
+@dataclasses.dataclass
+class TileGeometry:
+    image_size: int
+    stride: int
+    tile_size: int
+
+    def __post_init__(self):
+        i, s, t = self.image_size, self.stride, self.tile_size
+        if i % s or t % s:
+            raise ValueError(
+                f"stride {s} must divide image_size {i} and tile_size {t}"
+            )
+        self.grid = t // s + i // s - 1          # patches per tile side
+        self.halo = i - s                         # padding around each tile
+        self.slab = t + 2 * self.halo             # on-device slab side
+        self.purge = i // 16                      # border purge per patch
+        self.patch = i - 2 * self.purge           # folded patch side
+
+
+class DEMSuperResolution:
+    """End-to-end large-raster SR with uncertainty (mean/std/coverage
+    GeoTIFF triple), reference-compatible CLI semantics."""
+
+    def __init__(self, config: DSRConfig, model=None, mesh=None):
+        self.cfg = config
+        self.model = model  # fn(source[B,I,I,2], rng) -> [B,I,I]; None = identity
+        self.mesh = mesh
+        self.geom = TileGeometry(
+            config.image_size, config.stride, config.tile_size
+        )
+        self.no_value = float(config.no_value)
+        self._tile_fn = None
+
+    # ------------------------------------------------------------- raster IO
+
+    def load_images(self) -> None:
+        """Read the DEM + ortho rasters and their geo metadata
+        (reference: process_full_tiles.py:338-362)."""
+        img_path = os.path.join(self.cfg.source_folder_path,
+                                self.cfg.ortho_image_name)
+        dem_path = os.path.join(self.cfg.source_folder_path, self.cfg.dem_name)
+        for p in (img_path, dem_path):
+            if not os.path.exists(p):
+                raise ValueError(f"input raster not found: {p}")
+        with TiffReader(img_path) as r:
+            self.img = r.read().astype(np.float32).squeeze()
+        with TiffReader(dem_path) as r:
+            self.dem = r.read().astype(np.float32).squeeze()
+            self.geo_transform = r.geo_transform
+            self.projection = r.projection
+        self.dem_shape = self.dem.shape
+
+    def preprocess(self, fill_method: str = "fast") -> None:
+        """Fill small nodata holes and synthesize the /16 low-res
+        conditioning DEM (reference: process_full_tiles.py:406-424)."""
+        import cv2
+
+        self.img = fill_nodata(self.img, self.no_value, tile_size=1024,
+                               border=128, max_fill_area=8, method=fill_method)
+        dem_rs = self.dem.copy()
+        dem_rs[dem_rs <= self.no_value] = np.nan
+        dem_rs = cv2.resize(dem_rs, (0, 0), fx=0.25, fy=0.25,
+                            interpolation=cv2.INTER_AREA)
+        dem_rs[np.isnan(dem_rs)] = self.no_value
+        dem_rs = fill_nodata(dem_rs, self.no_value, tile_size=256, border=32,
+                             max_fill_area=24, method=fill_method)
+        dem_rs[dem_rs <= self.no_value] = np.nan
+        dem_rs = cv2.resize(dem_rs, (0, 0), fx=0.25, fy=0.25,
+                            interpolation=cv2.INTER_AREA)
+        dem_rs = cv2.resize(dem_rs, (self.dem_shape[1], self.dem_shape[0]),
+                            interpolation=cv2.INTER_CUBIC)
+        dem_rs[np.isnan(dem_rs)] = self.no_value
+        self.dem = dem_rs
+
+    def pad_inputs(self) -> None:
+        """Pad to tile_size multiples plus the tile halo, filled with
+        no_value (reference: process_full_tiles.py:426-447)."""
+        g = self.geom
+        t = self.cfg.tile_size
+        h, w = self.dem_shape
+        new_w = ((w // t) + 1) * t + g.halo * 2
+        new_h = ((h // t) + 1) * t + g.halo * 2
+        self.pad_x = new_w - w - g.halo
+        self.pad_y = new_h - h - g.halo
+        dem_p = np.full((new_h, new_w), self.no_value, np.float32)
+        img_p = np.full((new_h, new_w), self.no_value, np.float32)
+        dem_p[g.halo : g.halo + h, g.halo : g.halo + w] = self.dem
+        img_p[g.halo : g.halo + h, g.halo : g.halo + w] = self.img
+        self.dem_padded, self.img_padded = dem_p, img_p
+        self.dem = self.img = None
+
+    def generate_tile_list(self, shard_index: int = 0, num_shards: int = 1):
+        """Tile corner list; shardable across processes
+        (reference: process_full_tiles.py:493-505)."""
+        t = self.cfg.tile_size
+        tiles = [
+            (xx, yy)
+            for yy in range(0, self.dem_shape[0], t)
+            for xx in range(0, self.dem_shape[1], t)
+        ]
+        return tiles[shard_index::num_shards]
+
+    # -------------------------------------------------------- device program
+
+    def _build_tile_fn(self) -> Callable:
+        g = self.geom
+        i_sz, s, t = g.image_size, g.stride, g.tile_size
+        b = self.cfg.batch_size
+        n_patches = g.grid * g.grid
+        n_chunks = -(-n_patches // b)
+        n_pad = n_chunks * b - n_patches
+        weight = jnp.asarray(gaussian_blend_kernel(i_sz))
+        no_value = self.no_value
+        model = self.model
+        compute_dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" \
+            else jnp.float32
+
+        def tile_program(img_slab, dem_slab, rng):
+            # [G, G, I, I] patch grids via reshape-free dynamic slicing.
+            pi = extract_patches(img_slab, (g.grid, g.grid), s, i_sz)
+            pd = extract_patches(dem_slab, (g.grid, g.grid), s, i_sz)
+            pi = pi.reshape(n_patches, i_sz, i_sz)
+            pd = pd.reshape(n_patches, i_sz, i_sz)
+
+            # Validity: any nodata pixel rejects the patch
+            # (process_full_tiles.py:449-473).
+            valid = (jnp.min(pi, axis=(1, 2)) > no_value) & (
+                jnp.min(pd, axis=(1, 2)) > no_value
+            )
+
+            # Per-patch min-max normalization, zero-centered
+            # (process_full_tiles.py:475-491).
+            imin = jnp.min(pi, axis=(1, 2), keepdims=True)
+            imax = jnp.max(pi, axis=(1, 2), keepdims=True)
+            pi_n = (pi - imin) / jnp.maximum(imax - imin, 1e-12) - 0.5
+            dmin = jnp.min(pd, axis=(1, 2), keepdims=True)
+            dmax = jnp.max(pd, axis=(1, 2), keepdims=True)
+            pd_n = (pd - dmin) / jnp.maximum(dmax - dmin, 1e-12) - 0.5
+
+            x = jnp.stack([pi_n, pd_n], axis=-1)  # [N, I, I, 2]
+            if n_pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((n_pad, i_sz, i_sz, 2), x.dtype)], 0
+                )
+            x = x.reshape(n_chunks, b, i_sz, i_sz, 2)
+
+            if model is None:
+                # Identity: emit the low-res DEM channel — full pipeline
+                # fidelity check (process_full_tiles.py:309-323).
+                preds = x[..., 1]
+            else:
+                rngs = jax.random.split(rng, n_chunks)
+
+                def chunk(carry, inp):
+                    xb, r = inp
+                    yb = model(xb.astype(compute_dtype), r)
+                    return carry, yb.astype(jnp.float32)
+
+                _, preds = jax.lax.scan(chunk, 0, (x, rngs))
+            preds = preds.reshape(n_chunks * b, i_sz, i_sz)[:n_patches]
+
+            # Denormalize: +0.5 de-center then per-patch min-max restore
+            # (process_full_tiles.py:518-524, 576).
+            vals = (preds + 0.5) * (dmax - dmin) + dmin
+
+            # Purge patch borders and fold (process_full_tiles.py:570-594).
+            p0 = g.purge
+            vals = vals[:, p0 : i_sz - p0, p0 : i_sz - p0]
+            vals = vals.reshape(g.grid, g.grid, g.patch, g.patch)
+            mean, std, w_sum, good = fold_weighted_moments(
+                vals, valid.reshape(g.grid, g.grid).astype(jnp.float32),
+                weight, s,
+            )
+            # The fold plane starts at +purge in slab coords; the tile's
+            # final region is slab [halo : halo+T].
+            o = g.halo - p0
+            mean_t = jax.lax.dynamic_slice(mean, (o, o), (t, t))
+            std_t = jax.lax.dynamic_slice(std, (o, o), (t, t))
+            good_t = jax.lax.dynamic_slice(good, (o, o), (t, t))
+            mean_t = jnp.where(good_t > 0, mean_t, no_value)
+            std_t = jnp.where(good_t > 0, std_t, no_value)
+            return mean_t, std_t, good_t
+
+        return jax.jit(tile_program)
+
+    # ---------------------------------------------------------- tile driver
+
+    def process_tile(self, px: int, py: int):
+        """Process one tile fully on-device; returns (mean, std, good) numpy
+        arrays of shape [tile_size, tile_size]."""
+        if self._tile_fn is None:
+            self._tile_fn = self._build_tile_fn()
+        g = self.geom
+        img_slab = jnp.asarray(self.img_padded[py : py + g.slab, px : px + g.slab])
+        dem_slab = jnp.asarray(self.dem_padded[py : py + g.slab, px : px + g.slab])
+        rng = jax.random.PRNGKey(hash((px, py)) & 0x7FFFFFFF)
+        return self._tile_fn(img_slab, dem_slab, rng)
+
+    def save_gtiff(self, data: np.ndarray, name: str) -> None:
+        """Write one output map as LZW GeoTIFF with geo metadata + nodata
+        (reference: process_full_tiles.py:661-711)."""
+        os.makedirs(self.cfg.save_path, exist_ok=True)
+        path = os.path.join(self.cfg.save_path,
+                            f"{self.cfg.map_name}_{name}.tiff")
+        write_geotiff(
+            path, data, self.geo_transform, self.projection,
+            nodata=self.no_value, compress="lzw",
+        )
+
+    def process_map(self, progress: bool = True,
+                    shard_index: int = 0, num_shards: int = 1) -> dict:
+        """Full pipeline: load -> preprocess -> pad -> tiles -> 3 GeoTIFFs
+        (reference: process_full_tiles.py:748-767).  Returns timing stats."""
+        t0 = time.time()
+        self.load_images()
+        self.preprocess()
+        self.pad_inputs()
+        t_pre = time.time() - t0
+
+        h, w = self.dem_shape
+        t = self.cfg.tile_size
+        mean_map = np.full((h, w), self.no_value, np.float32)
+        std_map = np.full((h, w), self.no_value, np.float32)
+        good_map = np.zeros((h, w), np.uint8)
+
+        tiles = self.generate_tile_list(shard_index, num_shards)
+        t1 = time.time()
+        pending = None  # (px, py, device arrays) — 1-tile pipeline
+        for idx, (px, py) in enumerate(tiles):
+            out = self.process_tile(px, py)
+            if pending is not None:
+                self._commit_tile(pending, mean_map, std_map, good_map)
+            pending = (px, py, out)
+            if progress:
+                print(f"tile {idx + 1}/{len(tiles)} at ({px},{py})",
+                      flush=True)
+        if pending is not None:
+            self._commit_tile(pending, mean_map, std_map, good_map)
+        t_tiles = time.time() - t1
+
+        t2 = time.time()
+        if self.cfg.save_path:
+            self.save_gtiff(mean_map, "mean")
+            self.save_gtiff(std_map, "std")
+            self.save_gtiff(good_map.astype(np.uint16), "good")
+        t_save = time.time() - t2
+
+        n_patches = len(tiles) * self.geom.grid ** 2
+        stats = {
+            "tiles": len(tiles),
+            "patches": n_patches,
+            "preprocess_s": t_pre,
+            "tiles_s": t_tiles,
+            "save_s": t_save,
+            "patches_per_s": n_patches / max(t_tiles, 1e-9),
+        }
+        self.result = {"mean": mean_map, "std": std_map, "good": good_map}
+        return stats
+
+    def _commit_tile(self, pending, mean_map, std_map, good_map):
+        px, py, (mean_t, std_t, good_t) = pending
+        t = self.cfg.tile_size
+        h, w = self.dem_shape
+        hh = min(t, h - py)
+        ww = min(t, w - px)
+        mean_map[py : py + hh, px : px + ww] = np.asarray(mean_t)[:hh, :ww]
+        std_map[py : py + hh, px : px + ww] = np.asarray(std_t)[:hh, :ww]
+        good_map[py : py + hh, px : px + ww] = np.asarray(good_t)[:hh, :ww]

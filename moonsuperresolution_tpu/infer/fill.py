@@ -1,0 +1,125 @@
+"""Nodata hole filling for input rasters (host-side preprocessing).
+
+Reimplements the reference's small-blob interpolation
+(process_full_tiles.py:364-424): connected nodata components below a size
+threshold are filled by interpolation from the valid pixels; larger holes are
+left as nodata (and later rejected at the patch level).
+
+Two modes:
+- ``method="reference"``: cubic griddata over *all* valid points of the tile,
+  the reference's exact behavior — accurate but very slow on big tiles.
+- ``method="fast"`` (default): interpolation restricted to a dilated
+  neighbourhood of each hole.  Orders of magnitude faster with visually
+  identical fills for the small blobs this path is meant for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def interpolate_missing_values(
+    data: np.ndarray,
+    no_value: float,
+    max_fill_area: int = 256,
+    method: str = "fast",
+) -> np.ndarray:
+    """Fill nodata blobs smaller than ``max_fill_area`` px in-place-ish.
+
+    Mirrors process_full_tiles.py:364-392: early-out when there are no
+    missing values or no valid values; blobs >= max_fill_area are kept as
+    nodata.
+    """
+    import cv2
+    from scipy import interpolate as si
+
+    invalid = data <= no_value
+    if not invalid.any():
+        return data
+    if invalid.all():
+        return data
+    n_blobs, labels = cv2.connectedComponents((invalid * 255).astype(np.uint8))
+    ids, counts = np.unique(labels, return_counts=True)
+    fill_ids = [i for i, c in zip(ids, counts) if c < max_fill_area and i != 0]
+    # Blob id 0 is the valid background; if every hole is too large, skip.
+    if not fill_ids:
+        return data
+    fill_mask = np.isin(labels, fill_ids) & invalid
+
+    if method == "reference":
+        yy, xx = np.mgrid[0 : data.shape[0], 0 : data.shape[1]]
+        pts = np.stack([xx[~invalid], yy[~invalid]], -1)
+        vals = data[~invalid].ravel()
+        interp = si.griddata(
+            pts, vals, (xx, yy), method="cubic"
+        )
+        data = data.copy()
+        data[fill_mask] = interp[fill_mask]
+        return data
+
+    # fast path: per-hole local interpolation
+    data = data.copy()
+    kernel = np.ones((3, 3), np.uint8)
+    for blob_id in fill_ids:
+        hole = labels == blob_id
+        ys, xs = np.where(hole)
+        y0, y1 = ys.min(), ys.max() + 1
+        x0, x1 = xs.min(), xs.max() + 1
+        pad = 8
+        y0, x0 = max(0, y0 - pad), max(0, x0 - pad)
+        y1 = min(data.shape[0], y1 + pad)
+        x1 = min(data.shape[1], x1 + pad)
+        sub = data[y0:y1, x0:x1]
+        sub_hole = hole[y0:y1, x0:x1]
+        sub_valid = ~(sub <= no_value)
+        ring = cv2.dilate(sub_hole.astype(np.uint8), kernel, iterations=pad)
+        src = sub_valid & (ring > 0)
+        if src.sum() < 4:
+            continue
+        syy, sxx = np.mgrid[0 : sub.shape[0], 0 : sub.shape[1]]
+        pts = np.stack([sxx[src], syy[src]], -1)
+        try:
+            filled = si.griddata(
+                pts, sub[src].ravel(),
+                (sxx[sub_hole], syy[sub_hole]), method="cubic",
+            )
+        except Exception:
+            filled = None
+        if filled is None or np.isnan(filled).any():
+            filled = si.griddata(
+                pts, sub[src].ravel(),
+                (sxx[sub_hole], syy[sub_hole]), method="nearest",
+            )
+        sub[sub_hole] = filled
+        data[y0:y1, x0:x1] = sub
+    return data
+
+
+def fill_nodata(
+    image: np.ndarray,
+    no_value: float,
+    tile_size: int = 1024,
+    border: int = 128,
+    max_fill_area: int = 256,
+    method: str = "fast",
+) -> np.ndarray:
+    """Bordered tile sweep of ``interpolate_missing_values`` over a large
+    raster (process_full_tiles.py:394-404): each tile is interpolated with
+    ``border`` px of context, only the interior is written back."""
+    new_image = image.copy()
+    stride = tile_size - border * 2
+    for y in range(0, image.shape[0], stride):
+        ymax = min(y + tile_size - border, image.shape[0] - border)
+        for x in range(0, image.shape[1], stride):
+            xmax = min(x + tile_size - border, image.shape[1] - border)
+            tile = image[y : y + tile_size, x : x + tile_size]
+            if not (tile <= no_value).any():
+                continue
+            filled = interpolate_missing_values(
+                tile.copy(), no_value, max_fill_area=max_fill_area, method=method
+            )
+            new_image[y + border : ymax, x + border : xmax] = filled[
+                border : border + max(0, ymax - y - border),
+                border : border + max(0, xmax - x - border),
+            ]
+    return new_image

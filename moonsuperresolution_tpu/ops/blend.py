@@ -54,38 +54,45 @@ def fold_add(patches: jnp.ndarray, stride: int) -> jnp.ndarray:
     """Overlap-add of a regular patch grid.
 
     Args:
-      patches: ``[Gy, Gx, P, P]`` patch values; patch (i, j) covers output
-        rows ``i*stride : i*stride+P`` and cols ``j*stride : j*stride+P``.
+      patches: ``[Gy, Gx, P, P]`` or ``[C, Gy, Gx, P, P]`` patch values;
+        patch (i, j) covers output rows ``i*stride : i*stride+P`` and cols
+        ``j*stride : j*stride+P``.  A leading channel axis folds several
+        accumulators (e.g. w and w*x) in one traversal of the patch data.
       stride: grid stride in pixels.
 
     Returns:
-      ``[(Gy-1)*stride + P, (Gx-1)*stride + P]`` dense sum.
+      ``[(Gy-1)*stride + P, (Gx-1)*stride + P]`` dense sum (with the leading
+      channel axis preserved if present).
 
     Patches whose grid index is congruent modulo ``m = ceil(P/stride)`` never
     overlap, so each of the m^2 congruence classes is laid out with a single
     reshape/transpose and added at a static offset.  The m^2 loop is a static
     Python loop — XLA sees m^2 fused pad+add ops, no scatters.
     """
-    gy, gx, p, p2 = patches.shape
+    squeeze = patches.ndim == 4
+    if squeeze:
+        patches = patches[None]
+    c, gy, gx, p, p2 = patches.shape
     assert p == p2
     m = -(-p // stride)
     blk = m * stride
     out_h = (gy - 1) * stride + p
     out_w = (gx - 1) * stride + p
     # Pad each patch to the non-overlap block size.
-    pp = jnp.pad(patches, ((0, 0), (0, 0), (0, blk - p), (0, blk - p)))
+    pp = jnp.pad(patches, ((0, 0), (0, 0), (0, 0), (0, blk - p), (0, blk - p)))
     # Slack of one block covers the largest congruence-class extent.
-    acc = jnp.zeros((out_h + blk, out_w + blk), dtype=patches.dtype)
+    acc = jnp.zeros((c, out_h + blk, out_w + blk), dtype=patches.dtype)
     for a in range(m):
         for b in range(m):
-            sub = pp[a::m, b::m]  # [ni, nj, blk, blk]
-            ni, nj = sub.shape[0], sub.shape[1]
+            sub = pp[:, a::m, b::m]  # [C, ni, nj, blk, blk]
+            ni, nj = sub.shape[1], sub.shape[2]
             if ni == 0 or nj == 0:
                 continue
-            plane = sub.transpose(0, 2, 1, 3).reshape(ni * blk, nj * blk)
+            plane = sub.transpose(0, 1, 3, 2, 4).reshape(c, ni * blk, nj * blk)
             r0, c0 = a * stride, b * stride
-            acc = acc.at[r0 : r0 + ni * blk, c0 : c0 + nj * blk].add(plane)
-    return acc[:out_h, :out_w]
+            acc = acc.at[:, r0 : r0 + ni * blk, c0 : c0 + nj * blk].add(plane)
+    acc = acc[:, :out_h, :out_w]
+    return acc[0] if squeeze else acc
 
 
 def extract_patches(
@@ -128,8 +135,9 @@ def fold_weighted_moments(
     w_eff = weight.astype(f32)[None, None] * vmask
     x = values.astype(f32)
 
-    w_sum = fold_add(w_eff * jnp.ones_like(x), stride)
-    wx_sum = fold_add(w_eff * x, stride)
+    # Fold w and w*x in a single traversal of the patch data.
+    both = fold_add(jnp.stack([w_eff * jnp.ones_like(x), w_eff * x]), stride)
+    w_sum, wx_sum = both[0], both[1]
     safe_w = jnp.where(w_sum > 0, w_sum, 1.0)
     mean = wx_sum / safe_w
 

@@ -1,0 +1,112 @@
+"""End-to-end inference-engine tests with the identity model — the
+reference's own pipeline-fidelity trick (process_full_tiles.py:309-323)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from moonsuperresolution_tpu.config import DSRConfig
+from moonsuperresolution_tpu.geo import read_geotiff, write_geotiff
+from moonsuperresolution_tpu.infer import DEMSuperResolution
+
+GT = (30.5, 2.0, 0.0, -10.25, 0.0, -2.0)
+
+
+def _synthetic_pair(tmp_path, rng, h=300, w=420, nodata=-32768.0,
+                    holes=False):
+    cv2 = pytest.importorskip("cv2")
+    dem = cv2.resize(rng.standard_normal((6, 8)).astype(np.float32), (w, h),
+                     interpolation=cv2.INTER_CUBIC) * 100 + 1500
+    ort = (cv2.resize(rng.standard_normal((12, 16)).astype(np.float32),
+                      (w, h), interpolation=cv2.INTER_CUBIC) * 40 + 128
+           ).clip(1, 255)
+    if holes:
+        dem[50:53, 60:63] = nodata           # small fillable hole
+        dem[100:180, 200:300] = nodata        # large hole, stays nodata
+    write_geotiff(os.path.join(tmp_path, "run-DEM.tif"), dem, GT, "P", nodata)
+    write_geotiff(os.path.join(tmp_path, "run-DRG.tif"), ort, GT, "P", nodata)
+    return dem, ort
+
+
+def _lr_dem(dem, w, h):
+    import cv2
+
+    d = cv2.resize(dem, (0, 0), fx=0.25, fy=0.25,
+                   interpolation=cv2.INTER_AREA)
+    d = cv2.resize(d, (0, 0), fx=0.25, fy=0.25, interpolation=cv2.INTER_AREA)
+    return cv2.resize(d, (w, h), interpolation=cv2.INTER_CUBIC)
+
+
+class TestIdentityEngine:
+    def test_full_map_identity(self, tmp_path, rng):
+        td = str(tmp_path)
+        dem, _ = _synthetic_pair(td, rng)
+        cfg = DSRConfig(image_size=64, stride=8, batch_size=32, tile_size=128,
+                        source_folder_path=td, map_name="toy",
+                        save_path=os.path.join(td, "out"))
+        eng = DEMSuperResolution(cfg, model=None)
+        stats = eng.process_map(progress=False)
+        assert stats["tiles"] == (300 // 128 + 1) * (420 // 128 + 1)
+
+        mean, std, good = (eng.result[k] for k in ("mean", "std", "good"))
+        cov = good > 0
+        assert cov.mean() > 0.5
+        lr = _lr_dem(dem, 420, 300)
+        err = np.abs(mean[cov] - lr[cov])
+        # identity model must reproduce the (preprocessed) input DEM up to
+        # per-patch fp32 min-max quantization
+        assert err.max() < 0.01, err.max()
+        assert std[cov].max() < 0.01
+        # uncovered pixels carry nodata
+        assert (mean[~cov] == cfg.no_value).all()
+
+        out = read_geotiff(os.path.join(td, "out", "toy_mean.tiff"))
+        assert out.geo_transform == GT
+        assert out.projection == "P"
+        np.testing.assert_array_equal(out.data.squeeze(), mean)
+
+    def test_nodata_hole_handling(self, tmp_path, rng):
+        td = str(tmp_path)
+        dem, _ = _synthetic_pair(td, rng, holes=True)
+        cfg = DSRConfig(image_size=64, stride=8, batch_size=32, tile_size=128,
+                        source_folder_path=td, map_name="toy",
+                        save_path=None)
+        eng = DEMSuperResolution(cfg, model=None)
+        eng.process_map(progress=False)
+        good = eng.result["good"]
+        # the large hole rejects every patch touching it -> uncovered center
+        assert good[140, 250] == 0
+        # holes poison their neighbourhood (NaN spread through the /16
+        # LR-DEM synthesis, reference semantics) but most of the raster is
+        # still reconstructed
+        assert good.mean() > 0.2
+
+    def test_small_hole_interpolated(self, rng):
+        """Unit-level check of the fill path: a small blob is interpolated,
+        a big blob survives (process_full_tiles.py:364-392 semantics)."""
+        from moonsuperresolution_tpu.infer.fill import interpolate_missing_values
+
+        data = rng.standard_normal((64, 64)).astype(np.float32) + 10
+        data[10:13, 20:23] = -32768.0       # 9 px, fillable
+        data[40:60, 30:60] = -32768.0       # 600 px, too large
+        out = interpolate_missing_values(data.copy(), -32768.0,
+                                         max_fill_area=256)
+        assert (out[10:13, 20:23] > -1000).all()
+        assert (out[45:55, 35:55] == -32768.0).all()
+
+    def test_tile_list_sharding(self, tmp_path, rng):
+        td = str(tmp_path)
+        _synthetic_pair(td, rng)
+        cfg = DSRConfig(image_size=64, stride=8, batch_size=32, tile_size=128,
+                        source_folder_path=td, map_name="t", save_path=None)
+        eng = DEMSuperResolution(cfg, model=None)
+        eng.load_images()
+        all_tiles = eng.generate_tile_list()
+        sharded = [eng.generate_tile_list(i, 3) for i in range(3)]
+        assert sorted(sum(sharded, [])) == sorted(all_tiles)
+
+    def test_stride_must_divide(self):
+        cfg = DSRConfig(image_size=100, stride=13)
+        with pytest.raises(ValueError):
+            DEMSuperResolution(cfg, model=None)

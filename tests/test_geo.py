@@ -1,0 +1,117 @@
+"""GeoTIFF I/O tests: roundtrips, predictors, compression, interop."""
+
+import os
+
+import numpy as np
+import pytest
+
+from moonsuperresolution_tpu.geo import lzw
+from moonsuperresolution_tpu.geo.tiff import (
+    TiffReader,
+    read_geotiff,
+    write_geotiff,
+)
+
+
+class TestLZW:
+    CASES = [
+        b"",
+        b"A",
+        b"TOBEORNOTTOBEORTOBEORNOT" * 100,
+        bytes(range(256)) * 50,
+    ]
+
+    def test_roundtrip_python(self):
+        for d in self.CASES:
+            assert lzw._decode_py(lzw._encode_py(d), len(d)) == d
+
+    def test_roundtrip_native(self):
+        if lzw._native_lib() is None:
+            pytest.skip("no compiler for native codec")
+        for d in self.CASES:
+            assert lzw.decode(lzw.encode(d), len(d)) == d
+
+    def test_cross_decode(self):
+        for d in self.CASES:
+            enc = lzw.encode(d)
+            assert lzw._decode_py(enc, len(d)) == d
+
+    def test_table_overflow_clear(self, rng):
+        # enough entropy to exhaust the 12-bit table and force Clear codes
+        d = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
+        assert lzw.decode(lzw.encode(d), len(d)) == d
+
+
+class TestGeoTiff:
+    GT = (12.5, 2.0, 0.0, -7.25, 0.0, -2.0)
+
+    @pytest.mark.parametrize("dtype,comp", [
+        (np.float32, "lzw"), (np.uint16, "lzw"), (np.uint8, "deflate"),
+        (np.float32, "none"), (np.float64, "lzw"), (np.int16, "lzw"),
+    ])
+    def test_roundtrip(self, tmp_path, rng, dtype, comp):
+        x = (rng.random((137, 251)) * 1000).astype(dtype)
+        p = str(tmp_path / "t.tif")
+        write_geotiff(p, x, self.GT, projection="WKT", nodata=-32768.0,
+                      compress=comp)
+        g = read_geotiff(p)
+        np.testing.assert_array_equal(g.data.squeeze(), x)
+        assert g.geo_transform == self.GT
+        assert g.projection == "WKT"
+        assert g.nodata == -32768.0
+
+    def test_multiband(self, tmp_path, rng):
+        x = (rng.random((64, 80, 3)) * 100).astype(np.float32)
+        p = str(tmp_path / "mb.tif")
+        write_geotiff(p, x)
+        np.testing.assert_array_equal(read_geotiff(p).data, x)
+
+    def test_bigtiff(self, tmp_path, rng):
+        x = rng.random((300, 400)).astype(np.float32)
+        p = str(tmp_path / "big.tif")
+        write_geotiff(p, x, bigtiff=True)
+        np.testing.assert_array_equal(read_geotiff(p).data.squeeze(), x)
+
+    def test_windowed_read(self, tmp_path, rng):
+        x = rng.random((300, 400)).astype(np.float32)
+        p = str(tmp_path / "w.tif")
+        write_geotiff(p, x)
+        with TiffReader(p) as r:
+            np.testing.assert_array_equal(r.read_rows(37, 129), x[37:129])
+            np.testing.assert_array_equal(r.read_rows(0, 1), x[:1])
+            np.testing.assert_array_equal(r.read_rows(299, 300), x[299:])
+
+    def test_libtiff_interop(self, tmp_path, rng):
+        """Cross-implementation check: libtiff (via cv2) must decode our
+        LZW+predictor output bit-exactly, and vice versa."""
+        cv2 = pytest.importorskip("cv2")
+        x = (rng.random((100, 130)) * 1000).astype(np.float32)
+        p = str(tmp_path / "i.tif")
+        write_geotiff(p, x, compress="lzw")
+        y = cv2.imread(p, -1)
+        assert y is not None
+        np.testing.assert_array_equal(y, x)
+        cv2.imwrite(p, x)
+        np.testing.assert_array_equal(read_geotiff(p).data.squeeze(), x)
+
+
+class TestWacTiler:
+    def test_regions_from_synthetic_mosaic(self, tmp_path, rng):
+        from moonsuperresolution_tpu.data.wac_tiler import tile_wac_mosaic
+
+        # Tiny "global" mosaic: 36 rows (5 deg/px), 72 cols
+        h, w = 36, 72
+        mosaic = rng.integers(0, 255, (h, w), dtype=np.uint8)
+        # lon [0,360], lat [90,-90] geo-transform, 5 deg pixels
+        gt = (0.0, 5.0, 0.0, 90.0, 0.0, -5.0)
+        p = str(tmp_path / "wac.tif")
+        write_geotiff(p, mosaic, gt)
+        out = tile_wac_mosaic(p, str(tmp_path), block_rows=7)
+        assert len(out) == 6
+        north = np.load(str(
+            tmp_path / "Lunar_LRO_LROC-WAC_Mosaic_global_100m_June2013_0n_60n_0_120.npy"))
+        # N0-60 x W0-120: rows for lat 60..0 = rows 6..18, cols 0..24
+        np.testing.assert_array_equal(north, mosaic[6:18, 0:24])
+        south = np.load(str(
+            tmp_path / "Lunar_LRO_LROC-WAC_Mosaic_global_100m_June2013_0s_60s_240_360.npy"))
+        np.testing.assert_array_equal(south, mosaic[18:30, 48:72])

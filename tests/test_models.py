@@ -1,0 +1,152 @@
+"""Unit tests for layers and networks: shapes, normalization semantics,
+initializer sanity."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moonsuperresolution_tpu.models import (
+    Encoder,
+    InstanceNorm,
+    Pix2PixDiscriminator,
+    Pix2PixGenerator,
+    SPADE,
+    SpadeDiscriminator,
+    SpadeGenerator,
+    SpadeResidualBlock,
+)
+from moonsuperresolution_tpu.models.networks import sample_latent, upsample2x_nearest
+
+
+class TestSPADE:
+    def test_batch_stats_semantics(self, rng):
+        """SPADE normalizes with moments over (batch, h, w) — the reference's
+        tf.nn.moments axes (spade/models/spade.py:21)."""
+        x = rng.standard_normal((4, 8, 8, 6)).astype(np.float32) * 3 + 1
+        mask = rng.standard_normal((4, 16, 16, 2)).astype(np.float32)
+        layer = SPADE(filters=6)
+        params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                            jnp.asarray(mask))
+        out = layer.apply(params, jnp.asarray(x), jnp.asarray(mask))
+        assert out.shape == x.shape
+        # With zero-init gamma/beta convs on a random mask... gamma/beta are
+        # conv outputs with random kernels, so instead verify the normalized
+        # core: replicate with the params.
+        p = params["params"]
+
+        def conv(px, kernel, bias):
+            return jax.lax.conv_general_dilated(
+                px, kernel, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+
+        from moonsuperresolution_tpu.ops.resize import resize_nearest
+
+        m = resize_nearest(jnp.asarray(mask), (8, 8))
+        h = jax.nn.relu(conv(m, p["conv"]["kernel"], p["conv"]["bias"]))
+        gamma = conv(h, p["conv_gamma"]["kernel"], p["conv_gamma"]["bias"])
+        beta = conv(h, p["conv_beta"]["kernel"], p["conv_beta"]["bias"])
+        mean = x.mean(axis=(0, 1, 2), keepdims=True)
+        var = x.var(axis=(0, 1, 2), keepdims=True)
+        want = np.asarray(gamma) * (x - mean) / np.sqrt(var + 1e-5) + np.asarray(beta)
+        np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3, atol=2e-3)
+
+    def test_instance_stats_option(self, rng):
+        x = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+        mask = rng.standard_normal((2, 8, 8, 2)).astype(np.float32)
+        layer = SPADE(filters=4, stats="instance")
+        params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask))
+        out = layer.apply(params, jnp.asarray(x), jnp.asarray(mask))
+        assert out.shape == x.shape
+
+
+def test_instance_norm_moments(rng):
+    x = rng.standard_normal((3, 6, 6, 5)).astype(np.float32) * 4 + 2
+    layer = InstanceNorm()
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(layer.apply(params, jnp.asarray(x)))
+    # fresh params: scale 1, bias 0 -> output has ~zero mean/unit var per
+    # sample per channel
+    m = out.mean(axis=(1, 2))
+    v = out.var(axis=(1, 2))
+    np.testing.assert_allclose(m, 0, atol=1e-5)
+    np.testing.assert_allclose(v, 1, atol=2e-2)
+
+
+def test_upsample2x_nearest(rng):
+    x = rng.standard_normal((2, 3, 3, 4)).astype(np.float32)
+    y = np.asarray(upsample2x_nearest(jnp.asarray(x)))
+    want = np.repeat(np.repeat(x, 2, 1), 2, 2)
+    np.testing.assert_array_equal(y, want)
+
+
+def test_residual_block_identity_skip(rng):
+    """Same channel count -> identity skip, no spade_3/conv_3 params
+    (blocks.py:20-27)."""
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    mask = jnp.asarray(rng.standard_normal((2, 8, 8, 2)).astype(np.float32))
+    blk = SpadeResidualBlock(filters=16)
+    params = blk.init(jax.random.PRNGKey(0), x, mask)["params"]
+    assert "spade_3" not in params and "conv_3" not in params
+    blk2 = SpadeResidualBlock(filters=32)
+    params2 = blk2.init(jax.random.PRNGKey(0), x, mask)["params"]
+    assert "spade_3" in params2 and "conv_3" in params2
+
+
+class TestNetworks:
+    def test_encoder_shapes(self, rng):
+        enc = Encoder(latent_dim=32)
+        x = jnp.zeros((2, 64, 64, 2))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        mean, logvar = enc.apply(params, x)
+        assert mean.shape == (2, 32) and logvar.shape == (2, 32)
+
+    def test_generator_shapes(self):
+        gen = SpadeGenerator(image_size=64)
+        z = jnp.zeros((2, 32))
+        src = jnp.zeros((2, 64, 64, 2))
+        params = gen.init(jax.random.PRNGKey(0), z, src)
+        out = gen.apply(params, z, src)
+        assert out.shape == (2, 64, 64, 1)
+
+    def test_discriminator_multiscale(self):
+        disc = SpadeDiscriminator()
+        src = jnp.zeros((2, 64, 64, 2))
+        tgt = jnp.zeros((2, 64, 64, 1))
+        params = disc.init(jax.random.PRNGKey(0), src, tgt)
+        feats = disc.apply(params, src, tgt)
+        assert len(feats) == 5
+        # strides 2,2,2,1 then VALID 4x4 conv (networks.py:60-76)
+        assert feats[0].shape == (2, 32, 32, 64)
+        assert feats[1].shape == (2, 16, 16, 128)
+        assert feats[2].shape == (2, 8, 8, 256)
+        assert feats[3].shape == (2, 8, 8, 512)
+        assert feats[4].shape == (2, 5, 5, 1)
+
+    def test_sample_latent_statistics(self):
+        mean = jnp.full((512, 8), 2.0)
+        logvar = jnp.full((512, 8), np.log(0.25).astype(np.float32))
+        z = sample_latent(jax.random.PRNGKey(0), mean, logvar)
+        assert abs(float(z.mean()) - 2.0) < 0.05
+        assert abs(float(z.std()) - 0.5) < 0.05
+
+
+class TestPix2Pix:
+    def test_generator_output_range(self, rng):
+        gen = Pix2PixGenerator(depth=6)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 2)).astype(np.float32))
+        params = gen.init({"params": jax.random.PRNGKey(0),
+                           "dropout": jax.random.PRNGKey(1)}, x)
+        out = gen.apply(params, x, True)
+        assert out.shape == (1, 64, 64, 1)
+        assert float(jnp.abs(out).max()) <= 1.0  # tanh head
+
+    def test_discriminator_patch_map(self, rng):
+        disc = Pix2PixDiscriminator()
+        src = jnp.zeros((1, 256, 256, 2))
+        tgt = jnp.zeros((1, 256, 256, 1))
+        params = disc.init(jax.random.PRNGKey(0), src, tgt)
+        out = disc.apply(params, src, tgt)
+        # the reference's 30x30 PatchGAN logit map (pix2pix.py:118-135)
+        assert out.shape == (1, 30, 30, 1)
