@@ -53,14 +53,14 @@ def main():
         params,
     )
 
-    def model_fn(source, rng):
-        fake, _, _ = trainer._generate(params, source.astype(jnp.bfloat16), rng)
+    def model_fn(p, source, rng):
+        fake, _, _ = trainer._generate(p, source.astype(jnp.bfloat16), rng)
         return fake[..., 0].astype(jnp.float32)
 
     dsr_cfg = DSRConfig(image_size=image_size, stride=stride,
                         batch_size=batch, tile_size=tile_size,
                         compute_dtype="bfloat16")
-    engine = DEMSuperResolution(dsr_cfg, model=model_fn)
+    engine = DEMSuperResolution(dsr_cfg, model=model_fn, model_params=params)
     geom = engine.geom
 
     # Synthetic padded rasters: one slab's worth reused per tile.

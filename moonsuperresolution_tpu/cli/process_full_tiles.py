@@ -58,8 +58,8 @@ def main():
         model_path=a.model_path, model_kind=a.model_kind,
         compute_dtype=a.compute_dtype,
     )
-    model = load_model_fn(a.model_path, a.model_kind, a.image_size)
-    engine = DEMSuperResolution(cfg, model=model)
+    model, params = load_model_fn(a.model_path, a.model_kind, a.image_size)
+    engine = DEMSuperResolution(cfg, model=model, model_params=params)
     stats = engine.process_map(shard_index=a.shard_index,
                                num_shards=a.num_shards)
     print(stats)

@@ -151,3 +151,6 @@ class DSRConfig:
     # TPU-specific knobs (new in this framework):
     compute_dtype: str = "bfloat16"
     save_tiles: bool = False  # reference writes per-tile .tifs; we keep in RAM
+    # Use the fused Pallas patch-prep kernel (ops/pallas/patches.py) instead
+    # of the XLA extract+normalize path.  Requires stride % 8 == 0.
+    use_pallas_patches: bool = False

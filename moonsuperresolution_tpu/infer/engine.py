@@ -57,14 +57,16 @@ def load_model_fn(
 ):
     """Build the patch-batch model callable.
 
-    ``model_path`` empty/None -> identity model: returns the low-res DEM
-    channel unchanged, the reference's pipeline-fidelity dry-run mode
-    (process_full_tiles.py:309-323).  Otherwise restores an Orbax checkpoint
-    of the given variant (utils/checkpoint.py) and returns a closure
-    ``fn(source[B,H,W,2], rng) -> [B,H,W]`` over frozen params.
+    ``model_path`` empty/None -> (None, None): identity model — returns the
+    low-res DEM channel unchanged, the reference's pipeline-fidelity dry-run
+    mode (process_full_tiles.py:309-323).  Otherwise restores an Orbax
+    checkpoint of the given variant (utils/checkpoint.py) and returns
+    ``(fn, params)`` with ``fn(params, source[B,H,W,2], rng) -> [B,H,W]``.
+    Params are threaded as arguments (never closure constants) so the jitted
+    tile program stays small and the weights live in HBM once.
     """
     if not model_path:
-        return None
+        return None, None
     from moonsuperresolution_tpu.config import ModelConfig, TrainConfig
     from moonsuperresolution_tpu.train.trainers import GauGANTrainer
     from moonsuperresolution_tpu.utils.checkpoint import restore_params
@@ -77,11 +79,11 @@ def load_model_fn(
     trainer = GauGANTrainer(cfg)
     params = restore_params(model_path)
 
-    def fn(source, rng):
+    def fn(params, source, rng):
         fake, _, _ = trainer._generate(params, source, rng)
         return fake[..., 0]
 
-    return fn
+    return fn, params
 
 
 @dataclasses.dataclass
@@ -107,9 +109,14 @@ class DEMSuperResolution:
     """End-to-end large-raster SR with uncertainty (mean/std/coverage
     GeoTIFF triple), reference-compatible CLI semantics."""
 
-    def __init__(self, config: DSRConfig, model=None, mesh=None):
+    def __init__(self, config: DSRConfig, model=None, model_params=None,
+                 mesh=None):
         self.cfg = config
-        self.model = model  # fn(source[B,I,I,2], rng) -> [B,I,I]; None = identity
+        # model: fn(params, source[B,I,I,2], rng) -> [B,I,I]; None = identity.
+        # Params are a separate pytree argument so the compiled tile program
+        # contains no weight constants.
+        self.model = model
+        self.model_params = model_params
         self.mesh = mesh
         self.geom = TileGeometry(
             config.image_size, config.stride, config.tile_size
@@ -201,29 +208,45 @@ class DEMSuperResolution:
         compute_dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" \
             else jnp.float32
 
-        def tile_program(img_slab, dem_slab, rng):
-            # [G, G, I, I] patch grids via reshape-free dynamic slicing.
-            pi = extract_patches(img_slab, (g.grid, g.grid), s, i_sz)
-            pd = extract_patches(dem_slab, (g.grid, g.grid), s, i_sz)
-            pi = pi.reshape(n_patches, i_sz, i_sz)
-            pd = pd.reshape(n_patches, i_sz, i_sz)
+        use_pallas = self.cfg.use_pallas_patches and s % 8 == 0
 
-            # Validity: any nodata pixel rejects the patch
-            # (process_full_tiles.py:449-473).
-            valid = (jnp.min(pi, axis=(1, 2)) > no_value) & (
-                jnp.min(pd, axis=(1, 2)) > no_value
-            )
+        def tile_program(model_params, img_slab, dem_slab, rng):
+            if use_pallas:
+                # Fused extraction + validity + min-max normalization in one
+                # HBM pass (ops/pallas/patches.py).
+                from moonsuperresolution_tpu.ops.pallas.patches import (
+                    extract_normalize_patches,
+                )
 
-            # Per-patch min-max normalization, zero-centered
-            # (process_full_tiles.py:475-491).
-            imin = jnp.min(pi, axis=(1, 2), keepdims=True)
-            imax = jnp.max(pi, axis=(1, 2), keepdims=True)
-            pi_n = (pi - imin) / jnp.maximum(imax - imin, 1e-12) - 0.5
-            dmin = jnp.min(pd, axis=(1, 2), keepdims=True)
-            dmax = jnp.max(pd, axis=(1, 2), keepdims=True)
-            pd_n = (pd - dmin) / jnp.maximum(dmax - dmin, 1e-12) - 0.5
+                x, validf, dminv, dmaxv = extract_normalize_patches(
+                    img_slab, dem_slab, (g.grid, g.grid), s, i_sz, no_value
+                )
+                valid = validf > 0
+                dmin = dminv[:, None, None]
+                dmax = dmaxv[:, None, None]
+            else:
+                # [G, G, I, I] patch grids via reshape-free dynamic slicing.
+                pi = extract_patches(img_slab, (g.grid, g.grid), s, i_sz)
+                pd = extract_patches(dem_slab, (g.grid, g.grid), s, i_sz)
+                pi = pi.reshape(n_patches, i_sz, i_sz)
+                pd = pd.reshape(n_patches, i_sz, i_sz)
 
-            x = jnp.stack([pi_n, pd_n], axis=-1)  # [N, I, I, 2]
+                # Validity: any nodata pixel rejects the patch
+                # (process_full_tiles.py:449-473).
+                valid = (jnp.min(pi, axis=(1, 2)) > no_value) & (
+                    jnp.min(pd, axis=(1, 2)) > no_value
+                )
+
+                # Per-patch min-max normalization, zero-centered
+                # (process_full_tiles.py:475-491).
+                imin = jnp.min(pi, axis=(1, 2), keepdims=True)
+                imax = jnp.max(pi, axis=(1, 2), keepdims=True)
+                pi_n = (pi - imin) / jnp.maximum(imax - imin, 1e-12) - 0.5
+                dmin = jnp.min(pd, axis=(1, 2), keepdims=True)
+                dmax = jnp.max(pd, axis=(1, 2), keepdims=True)
+                pd_n = (pd - dmin) / jnp.maximum(dmax - dmin, 1e-12) - 0.5
+
+                x = jnp.stack([pi_n, pd_n], axis=-1)  # [N, I, I, 2]
             if n_pad:
                 x = jnp.concatenate(
                     [x, jnp.zeros((n_pad, i_sz, i_sz, 2), x.dtype)], 0
@@ -239,7 +262,7 @@ class DEMSuperResolution:
 
                 def chunk(carry, inp):
                     xb, r = inp
-                    yb = model(xb.astype(compute_dtype), r)
+                    yb = model(model_params, xb.astype(compute_dtype), r)
                     return carry, yb.astype(jnp.float32)
 
                 _, preds = jax.lax.scan(chunk, 0, (x, rngs))
@@ -276,11 +299,15 @@ class DEMSuperResolution:
         arrays of shape [tile_size, tile_size]."""
         if self._tile_fn is None:
             self._tile_fn = self._build_tile_fn()
+            if self.model_params is not None:
+                self._device_params = jax.device_put(self.model_params)
+            else:
+                self._device_params = ()
         g = self.geom
         img_slab = jnp.asarray(self.img_padded[py : py + g.slab, px : px + g.slab])
         dem_slab = jnp.asarray(self.dem_padded[py : py + g.slab, px : px + g.slab])
         rng = jax.random.PRNGKey(hash((px, py)) & 0x7FFFFFFF)
-        return self._tile_fn(img_slab, dem_slab, rng)
+        return self._tile_fn(self._device_params, img_slab, dem_slab, rng)
 
     def save_gtiff(self, data: np.ndarray, name: str) -> None:
         """Write one output map as LZW GeoTIFF with geo metadata + nodata

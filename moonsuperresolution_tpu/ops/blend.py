@@ -98,15 +98,38 @@ def fold_add(patches: jnp.ndarray, stride: int) -> jnp.ndarray:
 def extract_patches(
     plane: jnp.ndarray, grid_hw: tuple[int, int], stride: int, size: int
 ) -> jnp.ndarray:
-    """Extract the regular ``[Gy, Gx, size, size]`` patch grid from a plane."""
+    """Extract the regular ``[Gy, Gx, size, size]`` patch grid from a plane.
+
+    Inverse of ``fold_add`` via the same congruence-class decomposition:
+    patches in the same class (grid index mod m, m = ceil(size/stride)) tile
+    the plane without overlap, so each class is a static strided slice plus
+    reshapes.  (A vmap-of-dynamic-slice formulation is semantically identical
+    but makes XLA:TPU compile time explode at production patch counts.)
+    """
     gy, gx = grid_hw
-    rows = jnp.arange(gy) * stride
-    cols = jnp.arange(gx) * stride
-
-    def one(r, c):
-        return jax.lax.dynamic_slice(plane, (r, c), (size, size))
-
-    return jax.vmap(lambda r: jax.vmap(lambda c: one(r, c))(cols))(rows)
+    m = -(-size // stride)
+    blk = m * stride
+    # Pad so every class's strided view is in bounds.
+    need_h = (m - 1) * stride + (-(-gy // m)) * blk
+    need_w = (m - 1) * stride + (-(-gx // m)) * blk
+    ph = max(0, need_h - plane.shape[0])
+    pw = max(0, need_w - plane.shape[1])
+    if ph or pw:
+        plane = jnp.pad(plane, ((0, ph), (0, pw)))
+    out = jnp.zeros((gy, gx, size, size), plane.dtype)
+    for a in range(m):
+        ni = len(range(a, gy, m))
+        if ni == 0:
+            continue
+        for b in range(m):
+            nj = len(range(b, gx, m))
+            if nj == 0:
+                continue
+            sub = plane[a * stride : a * stride + ni * blk,
+                        b * stride : b * stride + nj * blk]
+            sub = sub.reshape(ni, blk, nj, blk).transpose(0, 2, 1, 3)
+            out = out.at[a::m, b::m].set(sub[:, :, :size, :size])
+    return out
 
 
 def fold_weighted_moments(
