@@ -43,19 +43,15 @@ def main():
 
     cfg = TrainConfig(
         model=ModelConfig(variant="gaugan", image_size=image_size,
-                          latent_dim=256),
+                          latent_dim=256, compute_dtype="bfloat16"),
         batch_size=batch,
     )
     trainer = GauGANTrainer(cfg)
     params = trainer.init(jax.random.PRNGKey(0)).params
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        params,
-    )
 
     def model_fn(p, source, rng):
-        fake, _, _ = trainer._generate(p, source.astype(jnp.bfloat16), rng)
-        return fake[..., 0].astype(jnp.float32)
+        fake, _, _ = trainer._generate(p, source, rng)
+        return fake[..., 0]
 
     dsr_cfg = DSRConfig(image_size=image_size, stride=stride,
                         batch_size=batch, tile_size=tile_size,

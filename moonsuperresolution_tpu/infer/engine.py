@@ -54,6 +54,7 @@ def load_model_fn(
     kind: str,
     image_size: int,
     latent_dim: int = 256,
+    compute_dtype: str = "bfloat16",
 ):
     """Build the patch-batch model callable.
 
@@ -73,7 +74,7 @@ def load_model_fn(
 
     cfg = TrainConfig(
         model=ModelConfig(variant=kind, image_size=image_size,
-                          latent_dim=latent_dim),
+                          latent_dim=latent_dim, compute_dtype=compute_dtype),
         batch_size=1,
     )
     trainer = GauGANTrainer(cfg)
@@ -209,6 +210,7 @@ class DEMSuperResolution:
             else jnp.float32
 
         use_pallas = self.cfg.use_pallas_patches and s % 8 == 0
+        mesh = self.mesh
 
         def tile_program(model_params, img_slab, dem_slab, rng):
             if use_pallas:
@@ -252,6 +254,16 @@ class DEMSuperResolution:
                     [x, jnp.zeros((n_pad, i_sz, i_sz, 2), x.dtype)], 0
                 )
             x = x.reshape(n_chunks, b, i_sz, i_sz, 2)
+            if mesh is not None:
+                # Spatial parallelism: each chunk's patch-batch axis shards
+                # over the mesh's data axis; the generator forward becomes
+                # DP and XLA handles any cross-device reductions (e.g.
+                # SPADE batch moments).
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, PartitionSpec(None, "data"))
+                )
 
             if model is None:
                 # Identity: emit the low-res DEM channel — full pipeline
@@ -308,6 +320,19 @@ class DEMSuperResolution:
         dem_slab = jnp.asarray(self.dem_padded[py : py + g.slab, px : px + g.slab])
         rng = jax.random.PRNGKey(hash((px, py)) & 0x7FFFFFFF)
         return self._tile_fn(self._device_params, img_slab, dem_slab, rng)
+
+    def save_tile(self, mean, std, good, name: str) -> None:
+        """Optional per-tile dumps in the reference's layout
+        (process_full_tiles.py:596-609): tile_<x>_<y>/tile_<x>_<y>_{mean,std,
+        correct}.tif.  Useful for distributing post-processing."""
+        tile_dir = os.path.join(self.cfg.save_path, f"tile_{name}")
+        os.makedirs(tile_dir, exist_ok=True)
+        write_geotiff(os.path.join(tile_dir, f"tile_{name}_mean.tif"),
+                      np.asarray(mean), compress="lzw")
+        write_geotiff(os.path.join(tile_dir, f"tile_{name}_std.tif"),
+                      np.asarray(std), compress="lzw")
+        write_geotiff(os.path.join(tile_dir, f"tile_{name}_correct.tif"),
+                      np.asarray(good), compress="lzw")
 
     def save_gtiff(self, data: np.ndarray, name: str) -> None:
         """Write one output map as LZW GeoTIFF with geo metadata + nodata
@@ -379,3 +404,5 @@ class DEMSuperResolution:
         mean_map[py : py + hh, px : px + ww] = np.asarray(mean_t)[:hh, :ww]
         std_map[py : py + hh, px : px + ww] = np.asarray(std_t)[:hh, :ww]
         good_map[py : py + hh, px : px + ww] = np.asarray(good_t)[:hh, :ww]
+        if self.cfg.save_tiles and self.cfg.save_path:
+            self.save_tile(mean_t, std_t, good_t, f"{px}_{py}")

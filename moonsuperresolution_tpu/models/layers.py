@@ -13,7 +13,7 @@ downsample convs) so that converted reference checkpoints drop in.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -30,18 +30,24 @@ def leaky_relu(x: jnp.ndarray, alpha: float) -> jnp.ndarray:
 
 class InstanceNorm(nn.Module):
     """Per-sample, per-channel spatial normalization with learned scale and
-    offset — tfa.layers.InstanceNormalization semantics (epsilon 1e-3)."""
+    offset — tfa.layers.InstanceNormalization semantics (epsilon 1e-3).
+
+    Statistics are always computed in float32 (mixed-precision safe); the
+    result is cast back to ``dtype``.
+    """
 
     epsilon: float = 1e-3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        x_hat = (x - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        x_hat = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
         gamma = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         beta = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        return x_hat * gamma + beta
+        return (x_hat * gamma + beta).astype(self.dtype)
 
 
 class SPADE(nn.Module):
@@ -62,22 +68,27 @@ class SPADE(nn.Module):
     epsilon: float = 1e-5
     hidden: int = 128
     stats: str = "batch"  # "batch" (reference parity) | "instance"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         mask = resize_nearest(mask, (x.shape[1], x.shape[2]))
         h = nn.Conv(self.hidden, (3, 3), padding="SAME", kernel_init=glorot_uniform,
-                    name="conv")(mask)
+                    dtype=self.dtype, name="conv")(mask.astype(self.dtype))
         h = nn.relu(h)
         gamma = nn.Conv(self.filters, (3, 3), padding="SAME",
-                        kernel_init=glorot_uniform, name="conv_gamma")(h)
+                        kernel_init=glorot_uniform, dtype=self.dtype,
+                        name="conv_gamma")(h)
         beta = nn.Conv(self.filters, (3, 3), padding="SAME",
-                       kernel_init=glorot_uniform, name="conv_beta")(h)
+                       kernel_init=glorot_uniform, dtype=self.dtype,
+                       name="conv_beta")(h)
         axes = (0, 1, 2) if self.stats == "batch" else (1, 2)
-        mean = jnp.mean(x, axis=axes, keepdims=True)
-        var = jnp.var(x, axis=axes, keepdims=True)
-        normalized = (x - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
-        return gamma * normalized + beta
+        # Moments in float32 regardless of compute dtype.
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=axes, keepdims=True)
+        var = jnp.var(x32, axis=axes, keepdims=True)
+        normalized = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        return gamma * normalized.astype(self.dtype) + beta
 
 
 class SpadeResidualBlock(nn.Module):
@@ -90,20 +101,24 @@ class SpadeResidualBlock(nn.Module):
     filters: int
     alpha: float = 0.2
     stats: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         in_filters = x.shape[-1]
-        h = SPADE(in_filters, stats=self.stats, name="spade_1")(x, mask)
-        h = nn.Conv(self.filters, (3, 3), padding="SAME",
+        h = SPADE(in_filters, stats=self.stats, dtype=self.dtype,
+                  name="spade_1")(x, mask)
+        h = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=glorot_uniform, name="conv_1")(leaky_relu(h, self.alpha))
-        h = SPADE(self.filters, stats=self.stats, name="spade_2")(h, mask)
-        h = nn.Conv(self.filters, (3, 3), padding="SAME",
+        h = SPADE(self.filters, stats=self.stats, dtype=self.dtype,
+                  name="spade_2")(h, mask)
+        h = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=glorot_uniform, name="conv_2")(leaky_relu(h, self.alpha))
         if self.filters != in_filters:
-            skip = SPADE(in_filters, stats=self.stats, name="spade_3")(x, mask)
+            skip = SPADE(in_filters, stats=self.stats, dtype=self.dtype,
+                         name="spade_3")(x, mask)
             skip = nn.Conv(self.filters, (3, 3), padding="SAME",
-                           kernel_init=glorot_uniform,
+                           kernel_init=glorot_uniform, dtype=self.dtype,
                            name="conv_3")(leaky_relu(skip, self.alpha))
         else:
             skip = x
@@ -126,6 +141,7 @@ class DownsampleBlock(nn.Module):
     apply_dropout: bool = False
     alpha: float = 0.2
     dropout: float = 0.5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -136,10 +152,11 @@ class DownsampleBlock(nn.Module):
             padding="SAME",
             use_bias=False,
             kernel_init=glorot_normal,
+            dtype=self.dtype,
             name="conv",
-        )(x)
+        )(x.astype(self.dtype))
         if self.apply_norm:
-            x = InstanceNorm(name="norm")(x)
+            x = InstanceNorm(dtype=self.dtype, name="norm")(x)
         if self.apply_activation:
             x = leaky_relu(x, self.alpha)
         if self.apply_dropout:

@@ -14,6 +14,8 @@ fuses into the following conv's input.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -44,20 +46,25 @@ class Encoder(nn.Module):
     latent_dim: int = 256
     downsample_factor: int = 64
     alpha: float = 0.2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         f = self.downsample_factor
-        x = DownsampleBlock(f, 3, apply_norm=False, alpha=self.alpha, name="down_0")(x)
-        x = DownsampleBlock(2 * f, 3, alpha=self.alpha, name="down_1")(x)
-        x = DownsampleBlock(4 * f, 3, alpha=self.alpha, name="down_2")(x)
-        x = DownsampleBlock(8 * f, 3, alpha=self.alpha, name="down_3")(x)
-        x = DownsampleBlock(8 * f, 3, alpha=self.alpha, name="down_4")(x)
+        d = self.dtype
+        x = DownsampleBlock(f, 3, apply_norm=False, alpha=self.alpha,
+                            dtype=d, name="down_0")(x)
+        x = DownsampleBlock(2 * f, 3, alpha=self.alpha, dtype=d, name="down_1")(x)
+        x = DownsampleBlock(4 * f, 3, alpha=self.alpha, dtype=d, name="down_2")(x)
+        x = DownsampleBlock(8 * f, 3, alpha=self.alpha, dtype=d, name="down_3")(x)
+        x = DownsampleBlock(8 * f, 3, alpha=self.alpha, dtype=d, name="down_4")(x)
         x = x.reshape(x.shape[0], -1)
-        mean = nn.Dense(self.latent_dim, kernel_init=glorot_uniform, name="mean")(x)
+        mean = nn.Dense(self.latent_dim, kernel_init=glorot_uniform,
+                        dtype=d, name="mean")(x)
         logvar = nn.Dense(self.latent_dim, kernel_init=glorot_uniform,
-                          name="variance")(x)
-        return mean, logvar
+                          dtype=d, name="variance")(x)
+        # Latent heads in float32: they feed the KL term and exp().
+        return mean.astype(jnp.float32), logvar.astype(jnp.float32)
 
 
 class SpadeGenerator(nn.Module):
@@ -74,6 +81,7 @@ class SpadeGenerator(nn.Module):
     alpha: float = 0.2
     stats: str = "batch"
     channel_plan: tuple = (1024, 1024, 1024, 512, 256, 128)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, latent: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
@@ -81,16 +89,18 @@ class SpadeGenerator(nn.Module):
         if sw < 1:
             raise ValueError(f"image_size {self.image_size} too small (needs >= 64)")
         x = nn.Dense(16 * sw * sw * 64, kernel_init=glorot_uniform,
-                     name="dense")(latent)
+                     dtype=self.dtype, name="dense")(latent.astype(self.dtype))
         x = x.reshape(-1, sw, sw, 1024)
         for i, ch in enumerate(self.channel_plan):
             x = SpadeResidualBlock(ch, alpha=self.alpha, stats=self.stats,
+                                   dtype=self.dtype,
                                    name=f"resblock_{i}")(x, source)
             x = upsample2x_nearest(x)
         x = leaky_relu(x, 0.2)
         x = nn.Conv(1, (4, 4), padding="SAME", kernel_init=glorot_uniform,
-                    name="head")(x)
-        return x
+                    dtype=self.dtype, name="head")(x)
+        # DEM output in float32 for the loss/denormalization math.
+        return x.astype(jnp.float32)
 
 
 class SpadeDiscriminator(nn.Module):
@@ -104,20 +114,23 @@ class SpadeDiscriminator(nn.Module):
 
     downsample_factor: int = 64
     alpha: float = 0.2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, source: jnp.ndarray, target: jnp.ndarray):
         f = self.downsample_factor
+        d = self.dtype
         x = jnp.concatenate([source, target], axis=-1)
         x1 = DownsampleBlock(f, 4, apply_norm=False, alpha=self.alpha,
-                             name="down_0")(x)
-        x2 = DownsampleBlock(2 * f, 4, alpha=self.alpha, name="down_1")(x1)
-        x3 = DownsampleBlock(4 * f, 4, alpha=self.alpha, name="down_2")(x2)
+                             dtype=d, name="down_0")(x)
+        x2 = DownsampleBlock(2 * f, 4, alpha=self.alpha, dtype=d, name="down_1")(x1)
+        x3 = DownsampleBlock(4 * f, 4, alpha=self.alpha, dtype=d, name="down_2")(x2)
         x4 = DownsampleBlock(8 * f, 4, strides=1, alpha=self.alpha,
-                             name="down_3")(x3)
+                             dtype=d, name="down_3")(x3)
         x5 = nn.Conv(1, (4, 4), padding="VALID", kernel_init=glorot_uniform,
-                     name="head")(x4)
-        return [x1, x2, x3, x4, x5]
+                     dtype=d, name="head")(x4)
+        # Feature-matching/hinge losses expect float32.
+        return [f_.astype(jnp.float32) for f_ in [x1, x2, x3, x4, x5]]
 
 
 def sample_latent(rng, mean: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:

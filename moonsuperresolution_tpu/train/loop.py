@@ -110,12 +110,11 @@ def train(
     trainer = make_trainer(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     state = trainer.init(rng)
-    start_epoch = 0
+    resumed = False
     latest = os.path.join(ckpt_dir, "latest")
     if resume and os.path.isdir(latest):
         state = restore_checkpoint(latest, template=state)
-        start_epoch = int(state.step) // max(1, _steps_per_epoch(cfg, synthetic))
-        print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
+        resumed = True
 
     if mesh is not None:
         from moonsuperresolution_tpu.parallel.mesh import shard_state_for_dp_tp
@@ -134,6 +133,10 @@ def train(
                           seed=cfg.seed + 1)
 
     steps = max_steps_per_epoch or _steps_per_epoch(cfg, synthetic, trn)
+    start_epoch = 0
+    if resumed:
+        start_epoch = int(state.step) // max(1, steps)
+        print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
     log_every = max(1, int(steps * cfg.log_every_frac))
     aug_rng = np.random.default_rng(cfg.seed)
     history = []

@@ -77,11 +77,14 @@ class GauGANTrainer:
         assert self.variant in ("gaugan", "gaugan_no_kl", "cnn_spade")
         self.has_disc = self.variant != "cnn_spade"
 
-        self.encoder = Encoder(latent_dim=m.latent_dim, alpha=m.alpha)
+        dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32
+        self.encoder = Encoder(latent_dim=m.latent_dim, alpha=m.alpha,
+                               dtype=dtype)
         self.generator = SpadeGenerator(
-            image_size=m.image_size, alpha=m.alpha, stats=m.spade_stats
+            image_size=m.image_size, alpha=m.alpha, stats=m.spade_stats,
+            dtype=dtype,
         )
-        self.discriminator = SpadeDiscriminator(alpha=m.alpha)
+        self.discriminator = SpadeDiscriminator(alpha=m.alpha, dtype=dtype)
 
         o = cfg.optimizer
         self.gen_tx = _adam(o.gen_lr, o.beta1, o.beta2, o.eps)

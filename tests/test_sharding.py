@@ -88,3 +88,43 @@ class TestDPTraining:
         for k in m1:
             np.testing.assert_allclose(float(m1[k]), float(m2[k]),
                                        rtol=2e-3, atol=1e-4)
+
+
+class TestShardedInference:
+    def test_identity_engine_matches_single_device(self, tmp_path):
+        """The spatially-sharded tile program (patch batch over 'data')
+        reproduces the unsharded identity-engine output exactly."""
+        import cv2
+        import numpy as np
+
+        from moonsuperresolution_tpu.config import DSRConfig
+        from moonsuperresolution_tpu.geo import write_geotiff
+        from moonsuperresolution_tpu.infer import DEMSuperResolution
+
+        rng = np.random.default_rng(0)
+        h, w = 200, 260
+        dem = cv2.resize(rng.standard_normal((5, 7)).astype(np.float32),
+                         (w, h), interpolation=cv2.INTER_CUBIC) * 100 + 1500
+        ort = (cv2.resize(rng.standard_normal((10, 13)).astype(np.float32),
+                          (w, h), interpolation=cv2.INTER_CUBIC) * 40 + 128
+               ).clip(1, 255)
+        td = str(tmp_path)
+        gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+        write_geotiff(f"{td}/run-DEM.tif", dem, gt, "P", -32768.0)
+        write_geotiff(f"{td}/run-DRG.tif", ort, gt, "P", -32768.0)
+
+        cfg = DSRConfig(image_size=64, stride=8, batch_size=16, tile_size=128,
+                        source_folder_path=td, map_name="t", save_path=None)
+        single = DEMSuperResolution(cfg, model=None)
+        single.process_map(progress=False)
+
+        mesh = make_mesh((8, 1))
+        sharded = DEMSuperResolution(cfg, model=None, mesh=mesh)
+        sharded.process_map(progress=False)
+
+        np.testing.assert_array_equal(single.result["good"],
+                                      sharded.result["good"])
+        np.testing.assert_allclose(single.result["mean"],
+                                   sharded.result["mean"], atol=1e-5)
+        np.testing.assert_allclose(single.result["std"],
+                                   sharded.result["std"], atol=1e-5)
