@@ -55,7 +55,8 @@ def main():
 
     dsr_cfg = DSRConfig(image_size=image_size, stride=stride,
                         batch_size=batch, tile_size=tile_size,
-                        compute_dtype="bfloat16")
+                        compute_dtype="bfloat16",
+                        use_pallas_patches=not small)
     engine = DEMSuperResolution(dsr_cfg, model=model_fn, model_params=params)
     geom = engine.geom
 
@@ -68,14 +69,16 @@ def main():
         np.float32)
     engine.dem_shape = (tile_size, tile_size)
 
-    # Warmup / compile.
+    # Warmup / compile.  Timing uses a host readback of the final result:
+    # remote-attached TPU runtimes can report block_until_ready before the
+    # pipeline fully drains.
     out = engine.process_tile(0, 0)
-    jax.block_until_ready(out)
+    float(np.asarray(out[0]).mean())
 
     t0 = time.perf_counter()
     for i in range(n_tiles):
         out = engine.process_tile(0, 0)
-    jax.block_until_ready(out)
+    float(np.asarray(out[0]).mean())
     dt = time.perf_counter() - t0
 
     patches = n_tiles * geom.grid**2

@@ -64,9 +64,13 @@ class Up(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        # transpose_kernel=True uses the Keras Conv2DTranspose kernel layout
+        # (kh, kw, out, in) and gradient-of-conv semantics — checkpoint
+        # import needs no kernel munging (see tests/test_tf_parity.py).
         x = nn.ConvTranspose(self.filters, (self.size, self.size),
                              strides=(2, 2), padding="SAME", use_bias=False,
-                             kernel_init=conv_init, name="deconv")(x)
+                             kernel_init=conv_init, transpose_kernel=True,
+                             name="deconv")(x)
         x = BatchStatNorm(name="bn")(x)
         if self.apply_dropout:
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
@@ -100,7 +104,7 @@ class Pix2PixGenerator(nn.Module):
             x = jnp.concatenate([x, skip], axis=-1)
         x = nn.ConvTranspose(self.output_channels, (4, 4), strides=(2, 2),
                              padding="SAME", kernel_init=conv_init,
-                             name="head")(x)
+                             transpose_kernel=True, name="head")(x)
         return jnp.tanh(x)
 
 

@@ -78,6 +78,11 @@ class _WeightStream:
         self.pos += 1
         return np.asarray(val)
 
+    def skip(self, n: int):
+        """Skip n items (e.g. BatchNorm moving statistics, which the
+        batch-stat norm never uses)."""
+        self.pos += n
+
     def done(self) -> bool:
         return self.pos >= len(self.items)
 
@@ -174,6 +179,53 @@ def discriminator_params_from_weights(names, values):
         if i > 0:
             block["norm"] = _norm(s, what=f"down_{i}.norm")
         params[f"down_{i}"] = block
+    params["head"] = _conv(s, what="head")
+    return jax.tree_util.tree_map(np.asarray, params)
+
+
+def _bn(stream, what="bn"):
+    """Keras BatchNormalization: gamma, beta, moving_mean, moving_variance —
+    the moving stats are dropped (the reference only ever runs BN in
+    training mode, pix2pix.py:146-148, so our norm is batch-stat-only)."""
+    g = stream.take(_is_vec, f"{what}.gamma")
+    b = stream.take(_is_vec, f"{what}.beta")
+    stream.skip(2)
+    return {"scale": g.reshape(-1), "bias": b.reshape(-1)}
+
+
+def pix2pix_generator_params_from_weights(names, values, depth: int = 8):
+    """Reference pix2pix U-Net (pix2pix.py:88-108).  Creation order: the
+    down stack (conv [+ BN]), the up stack (deconv + BN), then the tanh
+    head deconv (kernel layout (kh, kw, out, in), matching our
+    transpose_kernel=True modules)."""
+    s = _WeightStream(names, values)
+    params = {}
+    for i in range(depth):
+        block = {"conv": _conv(s, bias=False, what=f"down_{i}.conv")}
+        if i > 0:
+            block["bn"] = _bn(s, f"down_{i}.bn")
+        params[f"down_{i}"] = block
+    for i in range(depth - 1):
+        params[f"up_{i}"] = {
+            "deconv": _conv(s, bias=False, what=f"up_{i}.deconv"),
+            "bn": _bn(s, f"up_{i}.bn"),
+        }
+    params["head"] = _conv(s, what="head")
+    return jax.tree_util.tree_map(np.asarray, params)
+
+
+def pix2pix_discriminator_params_from_weights(names, values):
+    """Reference pix2pix PatchGAN (pix2pix.py:118-135): 3 downsample blocks,
+    conv(512)+BN, conv(1)."""
+    s = _WeightStream(names, values)
+    params = {}
+    for i in range(3):
+        block = {"conv": _conv(s, bias=False, what=f"down_{i}.conv")}
+        if i > 0:
+            block["bn"] = _bn(s, f"down_{i}.bn")
+        params[f"down_{i}"] = block
+    params["conv"] = _conv(s, bias=False, what="conv512")
+    params["bn"] = _bn(s, "bn")
     params["head"] = _conv(s, what="head")
     return jax.tree_util.tree_map(np.asarray, params)
 

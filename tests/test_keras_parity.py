@@ -188,3 +188,101 @@ def test_discriminator_parity(data):
     assert len(j_feats) == len(k_feats)
     for jf, kf in zip(j_feats, k_feats):
         np.testing.assert_allclose(np.asarray(jf), kf, rtol=1e-3, atol=1e-4)
+
+
+# --- pix2pix (pix2pix.py:64-135 semantics) ---------------------------------
+
+P2P_DEPTH = 6  # full reference depth is 8; 6 keeps the CPU test fast
+P2P_IMG = 64
+
+
+def k_p2p_down(f, bn=True):
+    blk = keras.Sequential()
+    blk.add(keras.layers.Conv2D(f, 4, strides=2, padding="same",
+                                use_bias=False))
+    if bn:
+        blk.add(keras.layers.BatchNormalization())
+    blk.add(keras.layers.LeakyReLU(negative_slope=0.3))
+    return blk
+
+
+def k_p2p_up(f):
+    blk = keras.Sequential()
+    blk.add(keras.layers.Conv2DTranspose(f, 4, strides=2, padding="same",
+                                         use_bias=False))
+    blk.add(keras.layers.BatchNormalization())
+    blk.add(keras.layers.ReLU())
+    return blk
+
+
+def build_keras_pix2pix_generator():
+    """pix2pix.py:88-108 at reduced depth; dropout omitted (weightless, and
+    the deterministic comparison needs it off on both sides)."""
+    full = (64, 128, 256, 512, 512, 512, 512, 512)
+    downs = [k_p2p_down(f, bn=i > 0)
+             for i, f in enumerate(full[:P2P_DEPTH])]
+    ups = [k_p2p_up(full[P2P_DEPTH - 2 - i]) for i in range(P2P_DEPTH - 1)]
+    inp = keras.Input((P2P_IMG, P2P_IMG, 2))
+    x = inp
+    skips = []
+    for d in downs:
+        x = d(x)
+        skips.append(x)
+    skips = list(reversed(skips[:-1]))
+    for u, skip in zip(ups, skips):
+        x = u(x)
+        x = keras.layers.Concatenate()([x, skip])
+    out = keras.layers.Conv2DTranspose(1, 4, strides=2, padding="same",
+                                       activation="tanh")(x)
+    return keras.Model(inp, out)
+
+
+def build_keras_pix2pix_discriminator():
+    """pix2pix.py:118-135 (30x30 PatchGAN at 256; smaller map here)."""
+    a = keras.Input((P2P_IMG, P2P_IMG, 2))
+    b = keras.Input((P2P_IMG, P2P_IMG, 1))
+    x = keras.layers.concatenate([a, b])
+    x = k_p2p_down(64, bn=False)(x)
+    x = k_p2p_down(128)(x)
+    x = k_p2p_down(256)(x)
+    x = keras.layers.ZeroPadding2D()(x)
+    x = keras.layers.Conv2D(512, 4, strides=1, use_bias=False)(x)
+    x = keras.layers.BatchNormalization()(x)
+    x = keras.layers.LeakyReLU(negative_slope=0.3)(x)
+    x = keras.layers.ZeroPadding2D()(x)
+    out = keras.layers.Conv2D(1, 4, strides=1)(x)
+    return keras.Model([a, b], out)
+
+
+def test_pix2pix_generator_parity(data):
+    from moonsuperresolution_tpu.models.pix2pix import Pix2PixGenerator
+    from moonsuperresolution_tpu.utils.checkpoint import (
+        pix2pix_generator_params_from_weights,
+    )
+
+    src, _, _ = data
+    km = build_keras_pix2pix_generator()
+    k_out = km(src, training=True).numpy()  # batch-stat BN, reference mode
+    names, values = _keras_ordered_weights(km)
+    params = pix2pix_generator_params_from_weights(names, values,
+                                                   depth=P2P_DEPTH)
+    gen = Pix2PixGenerator(depth=P2P_DEPTH)
+    j_out = np.asarray(gen.apply({"params": params}, jnp.asarray(src), True))
+    np.testing.assert_allclose(j_out, k_out, rtol=1e-3, atol=1e-4)
+
+
+def test_pix2pix_discriminator_parity(data):
+    from moonsuperresolution_tpu.models.pix2pix import Pix2PixDiscriminator
+    from moonsuperresolution_tpu.utils.checkpoint import (
+        pix2pix_discriminator_params_from_weights,
+    )
+
+    src, tgt, _ = data
+    km = build_keras_pix2pix_discriminator()
+    k_out = km([src, tgt], training=True).numpy()
+    names, values = _keras_ordered_weights(km)
+    params = pix2pix_discriminator_params_from_weights(names, values)
+    disc = Pix2PixDiscriminator()
+    j_out = np.asarray(disc.apply({"params": params}, jnp.asarray(src),
+                                  jnp.asarray(tgt)))
+    np.testing.assert_allclose(j_out, k_out, rtol=1e-3, atol=1e-4)
