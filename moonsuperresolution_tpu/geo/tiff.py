@@ -37,6 +37,7 @@ T_STRIPOFFSETS, T_SAMPLESPERPIXEL, T_ROWSPERSTRIP, T_STRIPBYTECOUNTS = (
     273, 277, 278, 279,
 )
 T_PLANARCONFIG, T_PREDICTOR, T_SAMPLEFORMAT = 284, 317, 339
+T_TILEWIDTH, T_TILELENGTH, T_TILEOFFSETS, T_TILEBYTECOUNTS = 322, 323, 324, 325
 T_MODELPIXELSCALE, T_MODELTIEPOINT = 33550, 33922
 T_GEOKEYDIR, T_GEOASCII = 34735, 34737
 T_GDAL_NODATA = 42113
@@ -351,9 +352,18 @@ class TiffReader:
         self.dtype = np.dtype(_DTYPES[(bits, sf)])
         self.compression = t.get(T_COMPRESSION, [1])[0]
         self.predictor = t.get(T_PREDICTOR, [1])[0]
-        self.rows_per_strip = t.get(T_ROWSPERSTRIP, [self.height])[0]
-        self.strip_offsets = t[T_STRIPOFFSETS]
-        self.strip_counts = t[T_STRIPBYTECOUNTS]
+        self.tiled = T_TILEOFFSETS in t
+        if self.tiled:
+            self.tile_w = t[T_TILEWIDTH][0]
+            self.tile_h = t[T_TILELENGTH][0]
+            self.tile_offsets = t[T_TILEOFFSETS]
+            self.tile_counts = t[T_TILEBYTECOUNTS]
+            self.tiles_across = -(-self.width // self.tile_w)
+            self.tiles_down = -(-self.height // self.tile_h)
+        else:
+            self.rows_per_strip = t.get(T_ROWSPERSTRIP, [self.height])[0]
+            self.strip_offsets = t[T_STRIPOFFSETS]
+            self.strip_counts = t[T_STRIPBYTECOUNTS]
         # geo
         scale = t.get(T_MODELPIXELSCALE)
         tie = t.get(T_MODELTIEPOINT)
@@ -370,9 +380,15 @@ class TiffReader:
         """Decode one strip -> [rows, W*C] array."""
         y0 = idx * self.rows_per_strip
         rows = min(self.rows_per_strip, self.height - y0)
-        self.f.seek(self.strip_offsets[idx])
-        raw = self.f.read(self.strip_counts[idx])
-        expected = rows * self.width * self.samples * self.dtype.itemsize
+        return self._decode_block(self.strip_offsets[idx],
+                                  self.strip_counts[idx], rows, self.width)
+
+    def _decode_block(self, offset: int, count: int, rows: int,
+                      cols: int) -> np.ndarray:
+        """Decode one strip/tile payload -> [rows, cols*C] array."""
+        self.f.seek(offset)
+        raw = self.f.read(count)
+        expected = rows * cols * self.samples * self.dtype.itemsize
         if self.compression == 5:
             raw = lzw.decode(raw, expected)
         elif self.compression == 8:
@@ -380,24 +396,47 @@ class TiffReader:
         elif self.compression != 1:
             raise ValueError(f"unsupported compression {self.compression}")
         if self.predictor == 3:
-            arr = _predict3_decode(raw, rows, self.width * self.samples,
-                                   self.dtype)
-        else:
-            arr = np.frombuffer(raw, self.dtype).reshape(
-                rows, self.width * self.samples
-            )
-            if self.predictor == 2:
-                arr = _predict2_decode(arr)
+            return _predict3_decode(raw, rows, cols * self.samples, self.dtype)
+        arr = np.frombuffer(raw, self.dtype).reshape(rows, cols * self.samples)
+        if self.predictor == 2:
+            arr = _predict2_decode(arr)
         return arr
+
+    def _tile(self, ti: int, tj: int) -> np.ndarray:
+        idx = ti * self.tiles_across + tj
+        return self._decode_block(self.tile_offsets[idx],
+                                  self.tile_counts[idx],
+                                  self.tile_h, self.tile_w)
+
+    def _read_rows_tiled(self, y0: int, y1: int) -> np.ndarray:
+        out = np.zeros((y1 - y0, self.width * self.samples), self.dtype)
+        t0 = y0 // self.tile_h
+        t1 = (y1 - 1) // self.tile_h
+        spp = self.samples
+        for ti in range(t0, t1 + 1):
+            ty0 = ti * self.tile_h
+            a = max(y0, ty0)
+            b = min(y1, ty0 + self.tile_h)
+            for tj in range(self.tiles_across):
+                tile = self._tile(ti, tj)
+                x0 = tj * self.tile_w
+                ww = min(self.tile_w, self.width - x0)
+                out[a - y0 : b - y0, x0 * spp : (x0 + ww) * spp] = tile[
+                    a - ty0 : b - ty0, : ww * spp
+                ]
+        return out
 
     def read_rows(self, y0: int, y1: int) -> np.ndarray:
         """Read rows [y0, y1) -> [y1-y0, W] or [y1-y0, W, C]."""
-        s0 = y0 // self.rows_per_strip
-        s1 = (y1 - 1) // self.rows_per_strip
-        parts = [self._strip(s) for s in range(s0, s1 + 1)]
-        block = np.concatenate(parts, axis=0)
-        off = y0 - s0 * self.rows_per_strip
-        block = block[off : off + (y1 - y0)]
+        if self.tiled:
+            block = self._read_rows_tiled(y0, y1)
+        else:
+            s0 = y0 // self.rows_per_strip
+            s1 = (y1 - 1) // self.rows_per_strip
+            parts = [self._strip(s) for s in range(s0, s1 + 1)]
+            block = np.concatenate(parts, axis=0)
+            off = y0 - s0 * self.rows_per_strip
+            block = block[off : off + (y1 - y0)]
         if self.samples > 1:
             return block.reshape(y1 - y0, self.width, self.samples)
         return block.reshape(y1 - y0, self.width)

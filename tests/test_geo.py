@@ -115,3 +115,58 @@ class TestWacTiler:
         south = np.load(str(
             tmp_path / "Lunar_LRO_LROC-WAC_Mosaic_global_100m_June2013_0s_60s_240_360.npy"))
         np.testing.assert_array_equal(south, mosaic[18:30, 48:72])
+
+
+class TestTiledTiff:
+    def test_tiled_organization_read(self, tmp_path, rng):
+        """Tile-organized TIFFs (the layout of the real WAC global mosaic)
+        decode correctly, full and windowed."""
+        import array
+        import struct
+
+        data = (rng.random((50, 70)) * 100).astype(np.float32)
+        tile = 16
+        h, w = data.shape
+        ta, td = -(-w // tile), -(-h // tile)
+        tiles = []
+        for i in range(td):
+            for j in range(ta):
+                blk = np.zeros((tile, tile), data.dtype)
+                ys = data[i * tile:(i + 1) * tile, j * tile:(j + 1) * tile]
+                blk[:ys.shape[0], :ys.shape[1]] = ys
+                tiles.append(blk.tobytes())
+        p = str(tmp_path / "tiled.tif")
+        with open(p, "wb") as f:
+            f.write(struct.pack("<2sHI", b"II", 42, 8))
+            offs = []
+            for t in tiles:
+                offs.append(f.tell())
+                f.write(t)
+            off_pos = f.tell()
+            f.write(array.array("I", offs).tobytes())
+            cnt_pos = f.tell()
+            f.write(array.array("I", [len(t) for t in tiles]).tobytes())
+            tags = [(256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [32]),
+                    (259, 3, 1, [1]), (262, 3, 1, [1]), (277, 3, 1, [1]),
+                    (284, 3, 1, [1]), (339, 3, 1, [3]),
+                    (322, 4, 1, [tile]), (323, 4, 1, [tile]),
+                    (324, 4, len(offs), None), (325, 4, len(tiles), None)]
+            tags.sort()
+            ifd = f.tell()
+            f.write(struct.pack("<H", len(tags)))
+            for tag, ft, cnt, vals in tags:
+                f.write(struct.pack("<HHI", tag, ft, cnt))
+                if tag == 324:
+                    f.write(struct.pack("<I", off_pos))
+                elif tag == 325:
+                    f.write(struct.pack("<I", cnt_pos))
+                else:
+                    fmt = {3: "H", 4: "I"}[ft]
+                    f.write(struct.pack(f"<{cnt}{fmt}", *vals).ljust(4, b"\0"))
+            f.write(struct.pack("<I", 0))
+            f.seek(4)
+            f.write(struct.pack("<I", ifd))
+        with TiffReader(p) as r:
+            assert r.tiled
+            np.testing.assert_array_equal(r.read(), data)
+            np.testing.assert_array_equal(r.read_rows(13, 37), data[13:37])
