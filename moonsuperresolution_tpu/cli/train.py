@@ -35,6 +35,8 @@ def parse():
     p.add_argument("--vgg_weights", type=str, default=None)
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 conv/matmul compute (params stay fp32)")
     return p.parse_args()
 
 
@@ -56,6 +58,10 @@ def main():
         **({"batch_size": args.batch_size} if args.batch_size else {}),
         **({"vgg_weights_path": args.vgg_weights} if args.vgg_weights else {}),
     )
+    if args.bf16:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           compute_dtype="bfloat16"))
     mesh = None
     if args.mesh:
         from moonsuperresolution_tpu.parallel.mesh import make_mesh

@@ -57,7 +57,7 @@ ORT_FILES = {
 SLDEM_ROWS = 15360  # SLDEM2015 256 px/deg, 60 degrees of latitude
 
 
-def load_pair(data_path: str, key: str):
+def load_pair(data_path: str, key: str, dem_rows: int = SLDEM_ROWS):
     """Load one (ortho, dem) region pair and resample the ortho onto the DEM
     grid (make_h5.py:26-37; area interpolation is the stated intent)."""
     import cv2
@@ -65,7 +65,7 @@ def load_pair(data_path: str, key: str):
     ort = np.load(os.path.join(data_path, ORT_FILES[key]))
     dem = np.fromfile(
         os.path.join(data_path, DEM_FILES[key]), dtype=np.float32
-    ).reshape(SLDEM_ROWS, -1)
+    ).reshape(dem_rows, -1)
     h, w = dem.shape
     ort = cv2.resize(ort, (w, h), interpolation=cv2.INTER_AREA)
     return ort, dem
@@ -102,7 +102,11 @@ def split_train_val(dct, num_anchors=50, run_length=20, seed=None):
     rng = np.random.default_rng(seed)
     keys = list(dct.keys())
     n = len(keys)
-    anchors = rng.choice(n - 2 * run_length, size=num_anchors, replace=False)
+    # Clamp for small datasets (the reference assumes thousands of tiles).
+    run_length = max(1, min(run_length, n // 4 or 1))
+    pool = max(1, n - 2 * run_length)
+    num_anchors = min(num_anchors, pool)
+    anchors = rng.choice(pool, size=num_anchors, replace=False)
     val_idx = set()
     for a in anchors:
         val_idx.update(range(a, a + run_length))
@@ -119,6 +123,7 @@ def build_h5_dataset(
     tile_size: int = TILE_SIZE,
     tile_offset: int = TILE_OFFSET,
     seed=None,
+    dem_rows: int = SLDEM_ROWS,
 ):
     """End-to-end dataset build: 6 region pairs -> MoonORTO2DEM.hdf5 +
     train/val pickles (make_h5.py:68-93)."""
@@ -130,7 +135,7 @@ def build_h5_dataset(
     dct = {}
     with h5py.File(h5_path, "w") as h5:
         for key in regions:
-            ort, dem = load_pair(data_path, key)
+            ort, dem = load_pair(data_path, key, dem_rows=dem_rows)
             h5, dct = tile_pair(ort, dem, key, h5, dct, tile_size, tile_offset)
     train_dct, val_dct = split_train_val(dct, seed=seed)
     with open(os.path.join(output_path, "MoonORTO2DEM_train.pkl"), "wb") as f:

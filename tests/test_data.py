@@ -111,3 +111,44 @@ class TestAugment:
         xb, yb = augment_batch(x.copy(), y.copy(), fixed2)
         np.testing.assert_array_equal(xa, xb)
         np.testing.assert_array_equal(ya, yb)
+
+
+def test_build_h5_dataset_end_to_end(tmp_path, rng):
+    """Full builder path on synthetic region files (tiny DEM grid)."""
+    from moonsuperresolution_tpu.data.h5_builder import (
+        DEM_FILES,
+        ORT_FILES,
+        build_h5_dataset,
+    )
+
+    key = "N0-60_W000-120"
+    rows, cols = 64, 96
+    dem = (rng.random((rows, cols)) * 2000).astype(np.float32)
+    dem.tofile(str(tmp_path / DEM_FILES[key]))
+    ort = (rng.random((32, 48)) * 255).astype(np.float32)
+    np.save(str(tmp_path / ORT_FILES[key]), ort)
+
+    h5_path, n_train, n_val = build_h5_dataset(
+        str(tmp_path), str(tmp_path / "out"), regions=[key],
+        tile_size=32, tile_offset=16, seed=0, dem_rows=rows,
+    )
+    import h5py
+
+    with h5py.File(h5_path, "r") as h5:
+        # 64x96 at 32px tiles / 16 offset: 3 x 5 full tiles
+        dem_keys = [k for k in h5 if "-dem-" in k]
+        assert len(dem_keys) == 15
+        assert h5[dem_keys[0]].dtype == np.uint16
+    assert n_train + n_val == 15
+    assert os.path.exists(str(tmp_path / "out" / "MoonORTO2DEM_train.pkl"))
+
+
+def test_fill_reference_mode(rng):
+    """The reference-exact griddata fill mode fills small blobs too."""
+    from moonsuperresolution_tpu.infer.fill import interpolate_missing_values
+
+    data = rng.standard_normal((48, 48)).astype(np.float32) + 5
+    data[20:23, 20:23] = -32768.0
+    out = interpolate_missing_values(data.copy(), -32768.0,
+                                     max_fill_area=64, method="reference")
+    assert (out[20:23, 20:23] > -100).all()

@@ -286,3 +286,28 @@ def test_pix2pix_discriminator_parity(data):
     j_out = np.asarray(disc.apply({"params": params}, jnp.asarray(src),
                                   jnp.asarray(tgt)))
     np.testing.assert_allclose(j_out, k_out, rtol=1e-3, atol=1e-4)
+
+
+def test_savedmodel_directory_import(data, tmp_path):
+    """The full checkpoint path: Keras model -> SavedModel directory ->
+    _savedmodel_ordered_weights -> our params -> matching forward.  Validates
+    that tf.saved_model.load's variable order preserves creation order (the
+    importer's contract)."""
+    from moonsuperresolution_tpu.utils.checkpoint import (
+        _savedmodel_ordered_weights,
+        encoder_params_from_weights,
+    )
+
+    src, _, _ = data
+    km = build_keras_encoder()
+    k_mean, k_var = km(src)
+    sm_dir = str(tmp_path / "encoder")
+    km.export(sm_dir)
+    names, values = _savedmodel_ordered_weights(sm_dir)
+    params = encoder_params_from_weights(names, values)
+    enc = Encoder(latent_dim=LATENT)
+    j_mean, j_var = enc.apply({"params": params}, jnp.asarray(src))
+    np.testing.assert_allclose(np.asarray(j_mean), k_mean.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_var), k_var.numpy(),
+                               rtol=1e-3, atol=1e-4)
