@@ -93,4 +93,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # Remote-attached TPU tunnels occasionally drop a compile request;
+    # retry once before giving up so a transient hiccup doesn't void the run.
+    try:
+        main()
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        time.sleep(20)
+        main()
