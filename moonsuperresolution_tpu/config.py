@@ -38,6 +38,9 @@ class ModelConfig:
     upscaling_factor: int = 16
     # Compute dtype for conv/matmul activations ("float32" or "bfloat16").
     compute_dtype: str = "float32"
+    # Dtype for SPADE normalization statistics; float32 for training,
+    # bfloat16 is an inference-speed option.
+    stats_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

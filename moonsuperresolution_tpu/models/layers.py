@@ -69,6 +69,9 @@ class SPADE(nn.Module):
     hidden: int = 128
     stats: str = "batch"  # "batch" (reference parity) | "instance"
     dtype: Any = jnp.float32
+    # Moments default to float32 for training stability; inference can set
+    # bfloat16 to skip the cast round-trips (fidelity-tested tolerance).
+    stats_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -83,11 +86,10 @@ class SPADE(nn.Module):
                        kernel_init=glorot_uniform, dtype=self.dtype,
                        name="conv_beta")(h)
         axes = (0, 1, 2) if self.stats == "batch" else (1, 2)
-        # Moments in float32 regardless of compute dtype.
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=axes, keepdims=True)
-        var = jnp.var(x32, axis=axes, keepdims=True)
-        normalized = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        xs = x.astype(self.stats_dtype)
+        mean = jnp.mean(xs, axis=axes, keepdims=True)
+        var = jnp.var(xs, axis=axes, keepdims=True)
+        normalized = (xs - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
         return gamma * normalized.astype(self.dtype) + beta
 
 
@@ -102,20 +104,24 @@ class SpadeResidualBlock(nn.Module):
     alpha: float = 0.2
     stats: str = "batch"
     dtype: Any = jnp.float32
+    stats_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         in_filters = x.shape[-1]
         h = SPADE(in_filters, stats=self.stats, dtype=self.dtype,
+                  stats_dtype=self.stats_dtype,
                   name="spade_1")(x, mask)
         h = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=glorot_uniform, name="conv_1")(leaky_relu(h, self.alpha))
         h = SPADE(self.filters, stats=self.stats, dtype=self.dtype,
+                  stats_dtype=self.stats_dtype,
                   name="spade_2")(h, mask)
         h = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=glorot_uniform, name="conv_2")(leaky_relu(h, self.alpha))
         if self.filters != in_filters:
             skip = SPADE(in_filters, stats=self.stats, dtype=self.dtype,
+                         stats_dtype=self.stats_dtype,
                          name="spade_3")(x, mask)
             skip = nn.Conv(self.filters, (3, 3), padding="SAME",
                            kernel_init=glorot_uniform, dtype=self.dtype,

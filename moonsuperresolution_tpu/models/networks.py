@@ -82,6 +82,7 @@ class SpadeGenerator(nn.Module):
     stats: str = "batch"
     channel_plan: tuple = (1024, 1024, 1024, 512, 256, 128)
     dtype: Any = jnp.float32
+    stats_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, latent: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
@@ -94,6 +95,7 @@ class SpadeGenerator(nn.Module):
         for i, ch in enumerate(self.channel_plan):
             x = SpadeResidualBlock(ch, alpha=self.alpha, stats=self.stats,
                                    dtype=self.dtype,
+                                   stats_dtype=self.stats_dtype,
                                    name=f"resblock_{i}")(x, source)
             x = upsample2x_nearest(x)
         x = leaky_relu(x, 0.2)

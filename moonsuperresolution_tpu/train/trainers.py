@@ -78,11 +78,12 @@ class GauGANTrainer:
         self.has_disc = self.variant != "cnn_spade"
 
         dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32
+        sdtype = jnp.bfloat16 if m.stats_dtype == "bfloat16" else jnp.float32
         self.encoder = Encoder(latent_dim=m.latent_dim, alpha=m.alpha,
                                dtype=dtype)
         self.generator = SpadeGenerator(
             image_size=m.image_size, alpha=m.alpha, stats=m.spade_stats,
-            dtype=dtype,
+            dtype=dtype, stats_dtype=sdtype,
         )
         self.discriminator = SpadeDiscriminator(alpha=m.alpha, dtype=dtype)
 

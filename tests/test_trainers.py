@@ -130,3 +130,72 @@ def test_checkpoint_roundtrip(cnn_trainer, tmp_path, rng):
     a, ma, _ = tr.train_step(_fresh(host2), src, tgt, jax.random.PRNGKey(5))
     b, mb, _ = tr.train_step(_fresh(restored), src, tgt, jax.random.PRNGKey(5))
     assert np.isclose(float(ma["total_loss"]), float(mb["total_loss"]))
+
+
+def test_bf16_mixed_precision_close_to_fp32(rng):
+    """bfloat16 compute with fp32 params/norms stays close to the fp32
+    forward and trains with finite losses."""
+    import dataclasses
+
+    cfg32 = TrainConfig(
+        model=ModelConfig(variant="cnn_spade", image_size=64, latent_dim=16),
+        batch_size=2,
+    )
+    cfg16 = dataclasses.replace(
+        cfg32, model=dataclasses.replace(cfg32.model,
+                                         compute_dtype="bfloat16"))
+    tr32 = make_trainer(cfg32)
+    tr16 = make_trainer(cfg16)
+    host = jax.device_get(tr32.init(jax.random.PRNGKey(0)))
+    src, tgt = _batch(rng)
+
+    f32 = tr32.forward(host.params, src, jax.random.PRNGKey(1))
+    f16 = tr16.forward(host.params, src, jax.random.PRNGKey(1))
+    assert f16.dtype == jnp.float32  # head casts back
+    # bf16 matmuls: loose but bounded deviation
+    assert float(jnp.abs(f32 - f16).mean()) < 0.05
+
+    state = _fresh(host)
+    state, m, _ = tr16.train_step(state, src, tgt, jax.random.PRNGKey(2))
+    assert all(np.isfinite(float(v)) for v in m.values())
+    # params remain fp32
+    dt = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: x.dtype, state.params))
+    assert all(d == jnp.float32 for d in dt)
+
+
+def test_training_from_h5_dataset(tmp_path, rng):
+    """Close the loop: h5 tile store (reference artifact format) ->
+    TileSampler -> trainer steps."""
+    import pickle
+
+    import h5py
+
+    from moonsuperresolution_tpu.data.h5_builder import tile_pair
+    from moonsuperresolution_tpu.data.sampler import TileSampler
+
+    h5_path = str(tmp_path / "tiles.hdf5")
+    dct = {}
+    ort = (rng.random((2000, 2000)) * 255).astype(np.float32)
+    dem = (rng.random((2000, 2000)) * 4000).astype(np.float32)
+    with h5py.File(h5_path, "w") as h5:
+        h5, dct = tile_pair(ort, dem, "R", h5, dct)
+    pkl = str(tmp_path / "k.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(dct, f)
+
+    cfg = TrainConfig(
+        model=ModelConfig(variant="cnn_spade", image_size=64, latent_dim=16),
+        batch_size=2,
+    )
+    tr = make_trainer(cfg)
+    state = tr.init(jax.random.PRNGKey(0))
+    sampler = TileSampler(h5_path, pkl, hw=64, seed=0)
+    n = 0
+    for x, y in sampler.batches(2):
+        state, m, _ = tr.train_step(state, jnp.asarray(x), jnp.asarray(y),
+                                    jax.random.PRNGKey(n))
+        n += 1
+        if n == 2:
+            break
+    assert n == 2 and np.isfinite(float(m["total_loss"]))
