@@ -124,6 +124,7 @@ class DEMSuperResolution:
         )
         self.no_value = float(config.no_value)
         self._tile_fn = None
+        self._tiles_fn = None
 
     # ------------------------------------------------------------- raster IO
 
@@ -196,7 +197,10 @@ class DEMSuperResolution:
 
     # -------------------------------------------------------- device program
 
-    def _build_tile_fn(self) -> Callable:
+    def _build_tile_fn(self, spmd: bool = True) -> Callable:
+        """Jitted single-tile program.  ``spmd=False`` builds the per-device
+        body for the shard_map tile-parallel driver (no sharding constraints
+        inside)."""
         g = self.geom
         i_sz, s, t = g.image_size, g.stride, g.tile_size
         b = self.cfg.batch_size
@@ -210,7 +214,7 @@ class DEMSuperResolution:
             else jnp.float32
 
         use_pallas = self.cfg.use_pallas_patches and s % 8 == 0
-        mesh = self.mesh
+        mesh = self.mesh if spmd else None
 
         def tile_program(model_params, img_slab, dem_slab, rng):
             if use_pallas:
@@ -318,7 +322,61 @@ class DEMSuperResolution:
             std_t = jnp.where(good_t > 0, std_t, no_value)
             return mean_t, std_t, good_t
 
+        if not spmd:
+            return tile_program
         return jax.jit(tile_program)
+
+    def _build_tiles_fn(self) -> Callable:
+        """Tile-parallel driver: one whole tile per device over the mesh's
+        data axis via shard_map — the scaling mode for pods (near-linear in
+        devices; the per-device program is the ordinary tile program, so
+        tile independence is preserved exactly)."""
+        from functools import partial
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh
+        body = self._build_tile_fn(spmd=False)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P("data"), P("data")),
+            check_rep=False,
+        )
+        def tiles_program(model_params, img_slabs, dem_slabs, rngs):
+            m, s_, gd = body(model_params, img_slabs[0], dem_slabs[0], rngs[0])
+            return m[None], s_[None], gd[None]
+
+        return jax.jit(tiles_program)
+
+    def process_tile_group(self, tiles: list[tuple[int, int]]):
+        """Process up to mesh-data-size tiles concurrently, one per device.
+        Returns a list of (mean, std, good) device arrays, one per tile."""
+        if self._tiles_fn is None:
+            self._tiles_fn = self._build_tiles_fn()
+            if self.model_params is not None:
+                self._device_params = jax.device_put(self.model_params)
+            else:
+                self._device_params = ()
+        g = self.geom
+        d = self.mesh.shape["data"]
+        assert len(tiles) <= d
+        img = np.full((d, g.slab, g.slab), self.no_value, np.float32)
+        dem = np.full((d, g.slab, g.slab), self.no_value, np.float32)
+        rngs = np.zeros((d, 2), np.uint32)
+        for i, (px, py) in enumerate(tiles):
+            img[i] = self.img_padded[py : py + g.slab, px : px + g.slab]
+            dem[i] = self.dem_padded[py : py + g.slab, px : px + g.slab]
+            rngs[i] = np.asarray(
+                jax.random.PRNGKey(hash((px, py)) & 0x7FFFFFFF))
+        from moonsuperresolution_tpu.parallel.mesh import shard_batch
+
+        img, dem, rngs = shard_batch((img, dem, jnp.asarray(rngs)), self.mesh)
+        mean, std, good = self._tiles_fn(self._device_params, img, dem, rngs)
+        return [(mean[i], std[i], good[i]) for i in range(len(tiles))]
 
     # ---------------------------------------------------------- tile driver
 
@@ -380,22 +438,37 @@ class DEMSuperResolution:
 
         tiles = self.generate_tile_list(shard_index, num_shards)
         t1 = time.time()
-        pending = None  # (px, py, device arrays) — 1-tile pipeline
-        for idx, (px, py) in enumerate(tiles):
-            if profile_dir and idx == 1:  # second tile: past compilation
-                with jax.profiler.trace(profile_dir):
+        tile_parallel = (
+            self.mesh is not None and self.mesh.shape.get("data", 1) > 1
+        )
+        if tile_parallel:
+            # One whole tile per device (shard_map): groups of data-size.
+            d = self.mesh.shape["data"]
+            for gi in range(0, len(tiles), d):
+                group = tiles[gi : gi + d]
+                outs = self.process_tile_group(group)
+                for (px, py), out in zip(group, outs):
+                    self._commit_tile((px, py, out), mean_map, std_map,
+                                      good_map)
+                if progress:
+                    print(f"tiles {gi + len(group)}/{len(tiles)}", flush=True)
+        else:
+            pending = None  # (px, py, device arrays) — 1-tile pipeline
+            for idx, (px, py) in enumerate(tiles):
+                if profile_dir and idx == 1:  # second tile: past compilation
+                    with jax.profiler.trace(profile_dir):
+                        out = self.process_tile(px, py)
+                        jax.block_until_ready(out)
+                else:
                     out = self.process_tile(px, py)
-                    jax.block_until_ready(out)
-            else:
-                out = self.process_tile(px, py)
+                if pending is not None:
+                    self._commit_tile(pending, mean_map, std_map, good_map)
+                pending = (px, py, out)
+                if progress:
+                    print(f"tile {idx + 1}/{len(tiles)} at ({px},{py})",
+                          flush=True)
             if pending is not None:
                 self._commit_tile(pending, mean_map, std_map, good_map)
-            pending = (px, py, out)
-            if progress:
-                print(f"tile {idx + 1}/{len(tiles)} at ({px},{py})",
-                      flush=True)
-        if pending is not None:
-            self._commit_tile(pending, mean_map, std_map, good_map)
         t_tiles = time.time() - t1
 
         t2 = time.time()
