@@ -117,9 +117,23 @@ def train(
         resumed = True
 
     if mesh is not None:
-        from moonsuperresolution_tpu.parallel.mesh import shard_state_for_dp_tp
+        from moonsuperresolution_tpu.parallel.mesh import (
+            shard_batch,
+            shard_state_for_dp_tp,
+        )
 
         state = shard_state_for_dp_tp(state, mesh)
+        if cfg.batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must divide by the data axis "
+                f"({mesh.shape['data']})"
+            )
+
+        def _to_device(x, y):
+            return shard_batch((jnp.asarray(x), jnp.asarray(y)), mesh)
+    else:
+        def _to_device(x, y):
+            return jnp.asarray(x), jnp.asarray(y)
 
     if synthetic:
         trn = SyntheticSampler(hw=cfg.model.image_size, seed=cfg.seed)
@@ -149,14 +163,15 @@ def train(
         for step, (x, y) in enumerate(BatchPrefetcher(it, depth=4)):
             x, y = augment_batch(x, y, aug_rng)
             step_rng = jax.random.fold_in(rng, int(state.step))
+            xd, yd = _to_device(x, y)
             if profile_dir and epoch == start_epoch and step == 1:
                 with jax.profiler.trace(profile_dir):
                     state, metrics, fake = trainer.train_step(
-                        state, jnp.asarray(x), jnp.asarray(y), step_rng)
+                        state, xd, yd, step_rng)
                     jax.block_until_ready(fake)
             else:
                 state, metrics, fake = trainer.train_step(
-                    state, jnp.asarray(x), jnp.asarray(y), step_rng)
+                    state, xd, yd, step_rng)
             train_acc.append(metrics)
             if step % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -173,8 +188,8 @@ def train(
         vx = vy = vf = None
         for vx, vy in BatchPrefetcher(_epoch_batches(val, cfg, max(1, steps // 10),
                                                      synthetic), depth=2):
-            vm, vf = trainer.val_step(state.params, jnp.asarray(vx),
-                                      jnp.asarray(vy),
+            vxd, vyd = _to_device(vx, vy)
+            vm, vf = trainer.val_step(state.params, vxd, vyd,
                                       jax.random.fold_in(rng, 2**31 + epoch))
             val_acc.append(vm)
         if val_acc:

@@ -128,3 +128,22 @@ class TestShardedInference:
                                    sharded.result["mean"], atol=1e-5)
         np.testing.assert_allclose(single.result["std"],
                                    sharded.result["std"], atol=1e-5)
+
+
+def test_train_loop_with_mesh(tmp_path):
+    """The full training loop drives DP-sharded steps end to end."""
+    from moonsuperresolution_tpu.config import ModelConfig, TrainConfig
+    from moonsuperresolution_tpu.train.loop import train
+
+    cfg = TrainConfig(
+        model=ModelConfig(variant="cnn_spade", image_size=64, latent_dim=16),
+        batch_size=8,
+        epochs=1,
+        output_path=str(tmp_path),
+    )
+    mesh = make_mesh((8, 1))
+    trainer, state, history = train(cfg, synthetic=True,
+                                    max_steps_per_epoch=2, mesh=mesh,
+                                    log=False)
+    assert int(state.step) == 2
+    assert np.isfinite(history[0]["train"]["total_loss"])
