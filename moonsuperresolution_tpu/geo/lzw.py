@@ -15,7 +15,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import sys
 
 _CLEAR = 256
 _EOI = 257

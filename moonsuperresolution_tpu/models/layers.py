@@ -13,7 +13,7 @@ downsample convs) so that converted reference checkpoints drop in.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

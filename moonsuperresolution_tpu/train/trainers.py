@@ -23,8 +23,7 @@ collectives (gradient all-reduce falls out of batch-sharded loss reduction).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax

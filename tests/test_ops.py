@@ -167,3 +167,32 @@ class TestBlend:
         np.testing.assert_allclose(
             np.asarray(std)[rg], rs[rg], rtol=1e-3, atol=1e-3
         )
+
+
+def test_weighted_moments_large_offset_stability(rng):
+    """Lunar DEM magnitudes (1e3-1e4 m) with cm-scale inter-generation
+    variance: the two-pass fold must recover std without catastrophic
+    cancellation (the fp32 sufficient-statistics form loses it entirely)."""
+    gy = gx = 4
+    p, s = 16, 8
+    base = 8500.0  # meters
+    noise = 0.02   # 2 cm generation-to-generation spread
+    values = (base + rng.standard_normal((gy, gx, p, p)) * noise).astype(
+        np.float32)
+    valid = np.ones((gy, gx), np.float32)
+    weight = gaussian_blend_kernel(p, purge=0)
+    mean, std, w_sum, good = fold_weighted_moments(
+        jnp.asarray(values), jnp.asarray(valid), jnp.asarray(weight), s)
+    h = (gy - 1) * s + p
+    rm, rs, rw, rg = _reference_welford(
+        values, valid, weight, s, (h, h))  # float64 ground truth
+    interior = rw > rw.max() * 0.5
+    np.testing.assert_allclose(np.asarray(mean)[interior], rm[interior],
+                               rtol=1e-6)
+    # std: fp32 ULP at 8500 m is ~0.5 mm, so per-pixel deviations up to a
+    # few mm are inherent; require the error to stay well under the signal.
+    err = np.abs(np.asarray(std)[interior] - rs[interior])
+    assert np.sqrt((err**2).mean()) < 0.3 * noise, err.max()
+    # and the recovered std magnitude is in the right range (not zeroed out
+    # by cancellation, which the single-pass fp32 form suffers)
+    assert 0.5 * noise < np.asarray(std)[interior].mean() < 1.5 * noise
