@@ -157,3 +157,6 @@ class DSRConfig:
     # Use the fused Pallas patch-prep kernel (ops/pallas/patches.py) instead
     # of the XLA extract+normalize path.  Requires stride % 8 == 0.
     use_pallas_patches: bool = False
+    # Seed for the per-patch latent draws (Monte-Carlo uncertainty source);
+    # per-tile keys are derived deterministically from it.
+    seed: int = 0

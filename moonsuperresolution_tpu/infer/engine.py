@@ -370,8 +370,7 @@ class DEMSuperResolution:
         for i, (px, py) in enumerate(tiles):
             img[i] = self.img_padded[py : py + g.slab, px : px + g.slab]
             dem[i] = self.dem_padded[py : py + g.slab, px : px + g.slab]
-            rngs[i] = np.asarray(
-                jax.random.PRNGKey(hash((px, py)) & 0x7FFFFFFF))
+            rngs[i] = np.asarray(self._tile_key(px, py))
         from moonsuperresolution_tpu.parallel.mesh import shard_batch
 
         img, dem, rngs = shard_batch((img, dem, jnp.asarray(rngs)), self.mesh)
@@ -392,8 +391,13 @@ class DEMSuperResolution:
         g = self.geom
         img_slab = jnp.asarray(self.img_padded[py : py + g.slab, px : px + g.slab])
         dem_slab = jnp.asarray(self.dem_padded[py : py + g.slab, px : px + g.slab])
-        rng = jax.random.PRNGKey(hash((px, py)) & 0x7FFFFFFF)
+        rng = self._tile_key(px, py)
         return self._tile_fn(self._device_params, img_slab, dem_slab, rng)
+
+    def _tile_key(self, px: int, py: int):
+        """Deterministic per-tile PRNG key from (config seed, tile corner)."""
+        base = jax.random.PRNGKey(self.cfg.seed)
+        return jax.random.fold_in(jax.random.fold_in(base, px), py)
 
     def save_tile(self, mean, std, good, name: str) -> None:
         """Optional per-tile dumps in the reference's layout
