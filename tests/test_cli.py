@@ -65,3 +65,24 @@ def test_colorize_matches_matplotlib(rng):
     idx = np.clip(np.round((x - x.min()) / (x.max() - x.min()) * 255),
                   0, 255).astype(int)
     np.testing.assert_allclose(out, lut[idx], atol=1e-6)
+
+
+def test_compare_maps(tmp_path, rng):
+    import json
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from moonsuperresolution_tpu.cli.compare_maps import compare
+    from moonsuperresolution_tpu.geo import write_geotiff
+
+    a = (rng.random((50, 60)) * 100 + 1000).astype(np.float32)
+    b = a + rng.standard_normal((50, 60)).astype(np.float32) * 0.1
+    a[0, 0] = -32768.0  # nodata excluded
+    stats = compare(a, b, -32768.0)
+    assert 0.05 < stats["rmse"] < 0.2
+    assert stats["coverage"] < 1.0
+    # identical maps -> zero
+    z = compare(b, b, -32768.0)
+    assert z["rmse"] == 0.0 and z["rmse_pct_of_range"] == 0.0
