@@ -67,15 +67,10 @@ def test_colorize_matches_matplotlib(rng):
     np.testing.assert_allclose(out, lut[idx], atol=1e-6)
 
 
-def test_compare_maps(tmp_path, rng):
-    import json
-    import subprocess
-    import sys
-
+def test_compare_maps(rng):
     import numpy as np
 
     from moonsuperresolution_tpu.cli.compare_maps import compare
-    from moonsuperresolution_tpu.geo import write_geotiff
 
     a = (rng.random((50, 60)) * 100 + 1000).astype(np.float32)
     b = a + rng.standard_normal((50, 60)).astype(np.float32) * 0.1
