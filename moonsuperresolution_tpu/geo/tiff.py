@@ -350,6 +350,11 @@ class TiffReader:
         bits = t.get(T_BITSPERSAMPLE, [8])[0]
         sf = t.get(T_SAMPLEFORMAT, [_SF_UINT])[0]
         self.dtype = np.dtype(_DTYPES[(bits, sf)])
+        # big-endian (MM) files: samples are byte-swapped before predictor
+        # accumulation, matching libtiff's swab-then-predict order.
+        self._file_dtype = (
+            self.dtype.newbyteorder(">") if self.endian == ">" else self.dtype
+        )
         self.compression = t.get(T_COMPRESSION, [1])[0]
         self.predictor = t.get(T_PREDICTOR, [1])[0]
         self.tiled = T_TILEOFFSETS in t
@@ -397,7 +402,11 @@ class TiffReader:
             raise ValueError(f"unsupported compression {self.compression}")
         if self.predictor == 3:
             return _predict3_decode(raw, rows, cols * self.samples, self.dtype)
-        arr = np.frombuffer(raw, self.dtype).reshape(rows, cols * self.samples)
+        arr = np.frombuffer(raw, self._file_dtype).reshape(
+            rows, cols * self.samples
+        )
+        if self._file_dtype != self.dtype:
+            arr = arr.astype(self.dtype)
         if self.predictor == 2:
             arr = _predict2_decode(arr)
         return arr

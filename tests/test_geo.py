@@ -170,3 +170,32 @@ class TestTiledTiff:
             assert r.tiled
             np.testing.assert_array_equal(r.read(), data)
             np.testing.assert_array_equal(r.read_rows(13, 37), data[13:37])
+
+
+def test_big_endian_read(tmp_path):
+    """MM (big-endian) TIFFs decode correctly (sample byte-swap before any
+    predictor, matching libtiff's swab-then-predict order)."""
+    import struct
+
+    data = (np.arange(48, dtype=np.uint16).reshape(6, 8) * 100)
+    p = str(tmp_path / "be.tif")
+    with open(p, "wb") as f:
+        f.write(struct.pack(">2sHI", b"MM", 42, 8))
+        payload = data.astype(">u2").tobytes()
+        tags = [(256, 3, 1, 8), (257, 3, 1, 6), (258, 3, 1, 16),
+                (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, 1),
+                (278, 3, 1, 6), (273, 4, 1, None),
+                (279, 4, 1, len(payload)), (339, 3, 1, 1)]
+        tags.sort()
+        data_off = 8 + 2 + len(tags) * 12 + 4
+        f.write(struct.pack(">H", len(tags)))
+        for tag, ft, cnt, val in tags:
+            if tag == 273:
+                val = data_off
+            f.write(struct.pack(">HHI", tag, ft, cnt))
+            f.write(struct.pack(">H", val) + b"\0\0" if ft == 3
+                    else struct.pack(">I", val))
+        f.write(struct.pack(">I", 0))
+        f.write(payload)
+    with TiffReader(p) as r:
+        np.testing.assert_array_equal(r.read(), data)
