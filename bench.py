@@ -75,11 +75,15 @@ def main():
     out = engine.process_tile(0, 0)
     float(np.asarray(out[0]).mean())
 
+    # Production loop (threaded slab staging + commit one tile behind).
+    sink = []
     t0 = time.perf_counter()
-    for i in range(n_tiles):
-        out = engine.process_tile(0, 0)
-    float(np.asarray(out[0]).mean())
+    engine.run_tiles_serial(
+        [(0, 0)] * n_tiles,
+        lambda px, py, o: sink.append(float(np.asarray(o[0]).mean())),
+    )
     dt = time.perf_counter() - t0
+    assert len(sink) == n_tiles
 
     patches = n_tiles * geom.grid**2
     pps = patches / dt

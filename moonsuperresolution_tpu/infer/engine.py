@@ -399,6 +399,53 @@ class DEMSuperResolution:
         base = jax.random.PRNGKey(self.cfg.seed)
         return jax.random.fold_in(jax.random.fold_in(base, px), py)
 
+    def run_tiles_serial(self, tiles, commit, progress: bool = False,
+                         profile_dir: Optional[str] = None) -> None:
+        """Single-device tile loop with threaded slab staging: while the
+        device processes tile i, a worker thread slices and uploads tile
+        i+1's slabs (device_put through remote-attached runtimes blocks the
+        calling thread, so it runs off the main loop).  ``commit(px, py,
+        out)`` is called one tile behind the in-flight one."""
+        import concurrent.futures
+
+        if self._tile_fn is None:
+            self._tile_fn = self._build_tile_fn()
+            self._device_params = (
+                jax.device_put(self.model_params)
+                if self.model_params is not None else ()
+            )
+        g = self.geom
+
+        def stage(px, py):
+            img = jnp.asarray(
+                self.img_padded[py : py + g.slab, px : px + g.slab])
+            dem = jnp.asarray(
+                self.dem_padded[py : py + g.slab, px : px + g.slab])
+            return img, dem
+
+        pending = None
+        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+            staged = stage(*tiles[0]) if tiles else None
+            for idx, (px, py) in enumerate(tiles):
+                nxt = (pool.submit(stage, *tiles[idx + 1])
+                       if idx + 1 < len(tiles) else None)
+                rng = self._tile_key(px, py)
+                if profile_dir and idx == 1:  # past compilation
+                    with jax.profiler.trace(profile_dir):
+                        out = self._tile_fn(self._device_params, *staged, rng)
+                        jax.block_until_ready(out)
+                else:
+                    out = self._tile_fn(self._device_params, *staged, rng)
+                if pending is not None:
+                    commit(*pending)
+                pending = (px, py, out)
+                if progress:
+                    print(f"tile {idx + 1}/{len(tiles)} at ({px},{py})",
+                          flush=True)
+                staged = nxt.result() if nxt is not None else None
+        if pending is not None:
+            commit(*pending)
+
     def save_tile(self, mean, std, good, name: str) -> None:
         """Optional per-tile dumps in the reference's layout
         (process_full_tiles.py:596-609): tile_<x>_<y>/tile_<x>_<y>_{mean,std,
@@ -457,22 +504,11 @@ class DEMSuperResolution:
                 if progress:
                     print(f"tiles {gi + len(group)}/{len(tiles)}", flush=True)
         else:
-            pending = None  # (px, py, device arrays) — 1-tile pipeline
-            for idx, (px, py) in enumerate(tiles):
-                if profile_dir and idx == 1:  # second tile: past compilation
-                    with jax.profiler.trace(profile_dir):
-                        out = self.process_tile(px, py)
-                        jax.block_until_ready(out)
-                else:
-                    out = self.process_tile(px, py)
-                if pending is not None:
-                    self._commit_tile(pending, mean_map, std_map, good_map)
-                pending = (px, py, out)
-                if progress:
-                    print(f"tile {idx + 1}/{len(tiles)} at ({px},{py})",
-                          flush=True)
-            if pending is not None:
-                self._commit_tile(pending, mean_map, std_map, good_map)
+            def commit(px, py, out):
+                self._commit_tile((px, py, out), mean_map, std_map, good_map)
+
+            self.run_tiles_serial(tiles, commit, progress=progress,
+                                  profile_dir=profile_dir)
         t_tiles = time.time() - t1
 
         t2 = time.time()
