@@ -424,10 +424,12 @@ class DEMSuperResolution:
             return img, dem
 
         pending = None
-        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+        commit_fut = None
+        with concurrent.futures.ThreadPoolExecutor(1) as up_pool, \
+                concurrent.futures.ThreadPoolExecutor(1) as down_pool:
             staged = stage(*tiles[0]) if tiles else None
             for idx, (px, py) in enumerate(tiles):
-                nxt = (pool.submit(stage, *tiles[idx + 1])
+                nxt = (up_pool.submit(stage, *tiles[idx + 1])
                        if idx + 1 < len(tiles) else None)
                 rng = self._tile_key(px, py)
                 if profile_dir and idx == 1:  # past compilation
@@ -437,12 +439,18 @@ class DEMSuperResolution:
                 else:
                     out = self._tile_fn(self._device_params, *staged, rng)
                 if pending is not None:
-                    commit(*pending)
+                    # Result download + map write on its own thread; tiles
+                    # write disjoint map regions so ordering is irrelevant.
+                    if commit_fut is not None:
+                        commit_fut.result()
+                    commit_fut = down_pool.submit(commit, *pending)
                 pending = (px, py, out)
                 if progress:
                     print(f"tile {idx + 1}/{len(tiles)} at ({px},{py})",
                           flush=True)
                 staged = nxt.result() if nxt is not None else None
+            if commit_fut is not None:
+                commit_fut.result()
         if pending is not None:
             commit(*pending)
 
