@@ -496,6 +496,13 @@ class DEMSuperResolution:
         good_map = np.zeros((h, w), np.uint8)
 
         tiles = self.generate_tile_list(shard_index, num_shards)
+        # Multi-shard runs write per-tile dumps + a manifest instead of the
+        # full maps: concurrent shards on shared storage must not clobber one
+        # output path; cli/merge_maps reassembles (reference: rebuildMap,
+        # process_full_tiles.py:533-566).
+        sharded = num_shards > 1
+        if sharded:
+            self.cfg.save_tiles = True
         t1 = time.time()
         tile_parallel = (
             self.mesh is not None and self.mesh.shape.get("data", 1) > 1
@@ -521,9 +528,20 @@ class DEMSuperResolution:
 
         t2 = time.time()
         if self.cfg.save_path:
-            self.save_gtiff(mean_map, "mean")
-            self.save_gtiff(std_map, "std")
-            self.save_gtiff(good_map.astype(np.uint16), "good")
+            if sharded:
+                from moonsuperresolution_tpu.infer.merge import (
+                    write_shard_manifest,
+                )
+
+                write_shard_manifest(
+                    self.cfg.save_path, self.cfg.map_name, shard_index,
+                    num_shards, tiles, self.dem_shape, t, self.no_value,
+                    self.geo_transform, self.projection,
+                )
+            else:
+                self.save_gtiff(mean_map, "mean")
+                self.save_gtiff(std_map, "std")
+                self.save_gtiff(good_map.astype(np.uint16), "good")
         t_save = time.time() - t2
 
         n_patches = len(tiles) * self.geom.grid ** 2

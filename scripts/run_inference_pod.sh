@@ -5,7 +5,13 @@
 # batch 12 on one V100 under a 6 h limit).
 #
 # Each invocation processes every NUM_SHARDS-th tile; run one per host (or
-# per SLURM array task with SHARD_INDEX=$SLURM_ARRAY_TASK_ID).
+# per SLURM array task with SHARD_INDEX=$SLURM_ARRAY_TASK_ID).  With
+# NUM_SHARDS > 1 each shard writes per-tile dumps plus a manifest (no full
+# maps — concurrent shards share the output dir safely); after all shards
+# finish, assemble the final mean/std/good triple once:
+#
+#   python -m moonsuperresolution_tpu.cli.merge_maps \
+#       --save_path /out --map_name site1 --num_shards 4
 #
 # Usage:
 #   SHARD_INDEX=0 NUM_SHARDS=4 ./scripts/run_inference_pod.sh \

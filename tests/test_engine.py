@@ -111,6 +111,54 @@ class TestIdentityEngine:
         with pytest.raises(ValueError):
             DEMSuperResolution(cfg, model=None)
 
+    def test_sharded_run_merges_bit_exact(self, tmp_path, rng):
+        """3 shards writing per-tile dumps + manifests, merged with
+        merge_shards, must equal the single-process maps bit-exactly
+        (reference: distributable tile list process_full_tiles.py:313-325 +
+        rebuildMap :533-566)."""
+        from moonsuperresolution_tpu.infer.merge import merge_shards
+
+        td = str(tmp_path)
+        _synthetic_pair(td, rng)
+
+        def mk(save_path):
+            return DSRConfig(image_size=64, stride=8, batch_size=32,
+                             tile_size=128, source_folder_path=td,
+                             map_name="toy", save_path=save_path)
+
+        single = DEMSuperResolution(mk(None), model=None)
+        single.process_map(progress=False)
+
+        out_dir = os.path.join(td, "sharded")
+        for i in range(3):
+            eng = DEMSuperResolution(mk(out_dir), model=None)
+            eng.process_map(progress=False, shard_index=i, num_shards=3)
+            # shards must not write the full-map triple
+            assert not os.path.exists(
+                os.path.join(out_dir, "toy_mean.tiff"))
+
+        # incomplete shard set is an error
+        os.rename(os.path.join(out_dir, "toy_shard2of3.json"),
+                  os.path.join(out_dir, "gone.bak"))
+        with pytest.raises(ValueError, match="missing shards"):
+            merge_shards(out_dir, "toy")
+        os.rename(os.path.join(out_dir, "gone.bak"),
+                  os.path.join(out_dir, "toy_shard2of3.json"))
+
+        res = merge_shards(out_dir, "toy", expect_shards=3)
+        assert res["tiles"] == len(single.generate_tile_list())
+
+        merged = read_geotiff(res["mean"])
+        assert merged.geo_transform == GT
+        assert merged.projection == "P"
+        np.testing.assert_array_equal(merged.data.squeeze(),
+                                      single.result["mean"])
+        np.testing.assert_array_equal(
+            read_geotiff(res["std"]).data.squeeze(), single.result["std"])
+        np.testing.assert_array_equal(
+            read_geotiff(res["good"]).data.squeeze(),
+            single.result["good"].astype(np.uint16))
+
 
 def test_checkpointed_model_through_engine(tmp_path, rng):
     """Close the production loop: trained params -> Orbax checkpoint ->
