@@ -72,6 +72,12 @@ class TrainConfig:
     optimizer: OptimizerConfig = OptimizerConfig()
     data: DataConfig = DataConfig()
     batch_size: int = 16
+    # Gradient accumulation: optimizer updates apply every ``grad_accum``
+    # micro-steps with mean-accumulated gradients (effective batch =
+    # grad_accum * batch_size).  Lets the 512 recipes (reference bs2,
+    # train_spade_512.py:21-22) train at larger effective batch without
+    # exceeding HBM.
+    grad_accum: int = 1
     epochs: int = 300
     seed: int = 0
     output_path: str = "."
@@ -153,10 +159,21 @@ class DSRConfig:
     model_kind: str = "gaugan"  # gaugan | cnn_spade | identity
     # TPU-specific knobs (new in this framework):
     compute_dtype: str = "bfloat16"
+    # "int8": dynamically-quantized generator convs (2x MXU rate on v5e);
+    # opt-in speed mode with a small measured output deviation (models/quant).
+    quantize: str = "none"
+    # Process-pool size for nodata hole filling (0 = one per CPU).
+    fill_workers: int = 0
     save_tiles: bool = False  # reference writes per-tile .tifs; we keep in RAM
     # Use the fused Pallas patch-prep kernel (ops/pallas/patches.py) instead
     # of the XLA extract+normalize path.  Requires stride % 8 == 0.
     use_pallas_patches: bool = False
+    # Pack only *valid* patches (densely, grid order) into generator batches,
+    # exactly the reference's batch composition (process_full_tiles.py:
+    # 449-474).  Matters because SPADE's batch-coupled moments make outputs
+    # depend on batch membership; False runs fixed grid-order chunks in which
+    # invalid patches participate in the moments.
+    pack_valid: bool = True
     # Seed for the per-patch latent draws (Monte-Carlo uncertainty source);
     # per-tile keys are derived deterministically from it.
     seed: int = 0

@@ -55,6 +55,7 @@ def load_model_fn(
     image_size: int,
     latent_dim: int = 256,
     compute_dtype: str = "bfloat16",
+    quantize: str = "none",
 ):
     """Build the patch-batch model callable.
 
@@ -79,6 +80,29 @@ def load_model_fn(
     )
     trainer = GauGANTrainer(cfg)
     params = restore_params(model_path)
+
+    if quantize == "int8":
+        # Opt-in int8 speed mode: the generator convs run s8xs8->s32 on the
+        # MXU at 2x the bf16 rate; encoder + SPADE stats stay bf16/f32
+        # (models/quant.py).  Outputs deviate slightly from the bf16 path —
+        # see tests/test_quant.py for the measured bound.
+        from moonsuperresolution_tpu.models.quant import (
+            QuantizedSpadeGenerator,
+        )
+
+        qgen = QuantizedSpadeGenerator(image_size=image_size)
+        params = dict(params, generator=qgen.quantize(params["generator"]))
+
+        def fn(params, source, rng):
+            mean, logvar = trainer.encoder.apply(
+                {"params": params["encoder"]}, source)
+            z = trainer._latent(rng, mean, logvar)
+            fake = qgen.apply(params["generator"], z, source)
+            return fake[..., 0]
+
+        return fn, params
+    elif quantize != "none":
+        raise ValueError(f"unknown quantize mode {quantize!r}")
 
     def fn(params, source, rng):
         fake, _, _ = trainer._generate(params, source, rng)
@@ -147,18 +171,26 @@ class DEMSuperResolution:
 
     def preprocess(self, fill_method: str = "fast") -> None:
         """Fill small nodata holes and synthesize the /16 low-res
-        conditioning DEM (reference: process_full_tiles.py:406-424)."""
+        conditioning DEM (reference: process_full_tiles.py:406-424).
+
+        fill_nodata parallelizes over holed tiles (process pool); the cv2
+        resizes are single multi-threaded C++ passes.  Timed separately in
+        process_map stats as ``preprocess_s``.
+        """
         import cv2
 
+        workers = self.cfg.fill_workers
         self.img = fill_nodata(self.img, self.no_value, tile_size=1024,
-                               border=128, max_fill_area=8, method=fill_method)
+                               border=128, max_fill_area=8,
+                               method=fill_method, workers=workers)
         dem_rs = self.dem.copy()
         dem_rs[dem_rs <= self.no_value] = np.nan
         dem_rs = cv2.resize(dem_rs, (0, 0), fx=0.25, fy=0.25,
                             interpolation=cv2.INTER_AREA)
         dem_rs[np.isnan(dem_rs)] = self.no_value
         dem_rs = fill_nodata(dem_rs, self.no_value, tile_size=256, border=32,
-                             max_fill_area=24, method=fill_method)
+                             max_fill_area=24, method=fill_method,
+                             workers=workers)
         dem_rs[dem_rs <= self.no_value] = np.nan
         dem_rs = cv2.resize(dem_rs, (0, 0), fx=0.25, fy=0.25,
                             interpolation=cv2.INTER_AREA)
@@ -214,6 +246,7 @@ class DEMSuperResolution:
             else jnp.float32
 
         use_pallas = self.cfg.use_pallas_patches and s % 8 == 0
+        pack_valid = self.cfg.pack_valid
         mesh = self.mesh if spmd else None
 
         def tile_program(model_params, img_slab, dem_slab, rng):
@@ -253,39 +286,55 @@ class DEMSuperResolution:
                 pd_n = (pd - dmin) / jnp.maximum(dmax - dmin, 1e-12) - 0.5
 
                 x = jnp.stack([pi_n, pd_n], axis=-1)  # [N, I, I, 2]
-            if n_pad:
-                x = jnp.concatenate(
-                    [x, jnp.zeros((n_pad, i_sz, i_sz, 2), x.dtype)], 0
-                )
-            x = x.reshape(n_chunks, b, i_sz, i_sz, 2)
-            if mesh is not None:
-                # Spatial parallelism: each chunk's patch-batch axis shards
-                # over the mesh's data axis; the generator forward becomes
-                # DP and XLA handles any cross-device reductions (e.g.
-                # SPADE batch moments).
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                x = jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, PartitionSpec(None, "data"))
-                )
-
             if model is None:
                 # Identity: emit the low-res DEM channel — full pipeline
-                # fidelity check (process_full_tiles.py:309-323).
+                # fidelity check (process_full_tiles.py:309-323).  Elementwise,
+                # so no batch packing is needed.
                 preds = x[..., 1]
             else:
-                rngs = jax.random.split(rng, n_chunks)
-                valid_pad = valid
+                # Reference batch composition: only *valid* patches are packed
+                # into inference batches, in grid order, and the final short
+                # batch is padded with zero patches (process_full_tiles.py:
+                # 449-474).  Because SPADE normalizes with batch-coupled
+                # moments, batch membership changes valid-patch outputs — so
+                # we gather valid patches densely before chunking (a stable
+                # argsort keeps grid order), zero the rest, and scatter the
+                # generations back afterwards.  Bonus: chunks past the last
+                # valid patch skip the generator entirely, so partially-empty
+                # border tiles do proportionally less work.
+                x = jnp.where(valid[:, None, None, None], x, 0.0)
+                if pack_valid:
+                    order = jnp.argsort(~valid, stable=True)
+                    x = jnp.take(x, order, axis=0)
+                    n_active = jnp.sum(valid.astype(jnp.int32))
+                    active_chunks = -(-n_active // b)  # ceil
+                    chunk_has_work = jnp.arange(n_chunks) < active_chunks
+                else:
+                    vp = valid
+                    if n_pad:
+                        vp = jnp.concatenate(
+                            [valid, jnp.zeros((n_pad,), valid.dtype)])
+                    chunk_has_work = vp.reshape(n_chunks, b).any(axis=1)
                 if n_pad:
-                    valid_pad = jnp.concatenate(
-                        [valid, jnp.zeros((n_pad,), valid.dtype)]
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((n_pad, i_sz, i_sz, 2), x.dtype)], 0
                     )
-                chunk_has_work = valid_pad.reshape(n_chunks, b).any(axis=1)
+                x = x.reshape(n_chunks, b, i_sz, i_sz, 2)
+                if mesh is not None:
+                    # Spatial parallelism: each chunk's patch-batch axis
+                    # shards over the mesh's data axis; the generator forward
+                    # becomes DP and XLA handles any cross-device reductions
+                    # (e.g. SPADE batch moments).
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    x = jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, PartitionSpec(None, "data"))
+                    )
+                rngs = jax.random.split(rng, n_chunks)
 
                 def chunk(carry, inp):
                     xb, r, has_work = inp
-                    # Entirely-invalid chunks (common on raster borders,
-                    # where every window touches nodata padding) skip the
+                    # Workless chunks (all padding/invalid) skip the
                     # generator via lax.cond — their outputs carry zero
                     # weight in the fold anyway.
                     yb = jax.lax.cond(
@@ -298,7 +347,11 @@ class DEMSuperResolution:
                     return carry, yb
 
                 _, preds = jax.lax.scan(chunk, 0, (x, rngs, chunk_has_work))
-            preds = preds.reshape(n_chunks * b, i_sz, i_sz)[:n_patches]
+                preds = preds.reshape(n_chunks * b, i_sz, i_sz)[:n_patches]
+                if pack_valid:
+                    # Scatter generations back to grid order.
+                    preds = jnp.take(preds, jnp.argsort(order), axis=0)
+            preds = preds.reshape(n_patches, i_sz, i_sz)
 
             # Denormalize: +0.5 de-center then per-patch min-max restore
             # (process_full_tiles.py:518-524, 576).
@@ -333,7 +386,16 @@ class DEMSuperResolution:
         tile independence is preserved exactly)."""
         from functools import partial
 
-        from jax.experimental.shard_map import shard_map
+        import functools as _ft
+
+        try:
+            from jax import shard_map as _sm
+
+            shard_map = _ft.partial(_sm, check_vma=False)
+        except ImportError:  # older jax spells it differently
+            from jax.experimental.shard_map import shard_map as _sm
+
+            shard_map = _ft.partial(_sm, check_rep=False)
         from jax.sharding import PartitionSpec as P
 
         mesh = self.mesh
@@ -344,7 +406,6 @@ class DEMSuperResolution:
             mesh=mesh,
             in_specs=(P(), P("data"), P("data"), P("data")),
             out_specs=(P("data"), P("data"), P("data")),
-            check_rep=False,
         )
         def tiles_program(model_params, img_slabs, dem_slabs, rngs):
             m, s_, gd = body(model_params, img_slabs[0], dem_slabs[0], rngs[0])
@@ -480,12 +541,13 @@ class DEMSuperResolution:
 
     def process_map(self, progress: bool = True,
                     shard_index: int = 0, num_shards: int = 1,
-                    profile_dir: Optional[str] = None) -> dict:
+                    profile_dir: Optional[str] = None,
+                    fill_method: str = "fast") -> dict:
         """Full pipeline: load -> preprocess -> pad -> tiles -> 3 GeoTIFFs
         (reference: process_full_tiles.py:748-767).  Returns timing stats."""
         t0 = time.time()
         self.load_images()
-        self.preprocess()
+        self.preprocess(fill_method=fill_method)
         self.pad_inputs()
         t_pre = time.time() - t0
 

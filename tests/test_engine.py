@@ -160,6 +160,120 @@ class TestIdentityEngine:
             single.result["good"].astype(np.uint16))
 
 
+class TestValidPacking:
+    """The engine must reproduce the reference's batch composition: only
+    valid patches are packed (densely, grid order) into generator batches and
+    the final short batch is zero-padded (process_full_tiles.py:449-474).
+    Observable because SPADE couples outputs across the batch."""
+
+    NO_VALUE = -32768.0
+    I, S, T = 16, 8, 32
+    B = 4
+
+    @staticmethod
+    def _coupled_model(params, source, rng):
+        # Output depends on the *whole batch* (like SPADE's (0,1,2) moments):
+        # lr-dem channel plus the batch-mean of the ortho channel.
+        import jax.numpy as jnp
+
+        return source[..., 1] + jnp.mean(source[..., 0])
+
+    def _engine(self, pack_valid):
+        cfg = DSRConfig(image_size=self.I, stride=self.S, batch_size=self.B,
+                        tile_size=self.T, no_value=self.NO_VALUE,
+                        compute_dtype="float32", pack_valid=pack_valid)
+        return DEMSuperResolution(cfg, model=self._coupled_model,
+                                  model_params={})
+
+    def _slab(self, rng):
+        eng = self._engine(True)
+        g = eng.geom
+        slab_img = (rng.standard_normal((g.slab, g.slab)) * 30 + 128).astype(
+            np.float32)
+        slab_dem = (rng.standard_normal((g.slab, g.slab)) * 40 + 1500).astype(
+            np.float32)
+        # nodata block invalidating a contiguous run of grid patches
+        slab_dem[4:20, 4:20] = self.NO_VALUE
+        return slab_img, slab_dem
+
+    def _oracle(self, slab_img, slab_dem):
+        """Reference-style tile computation: per-patch numpy normalization,
+        dense valid-packing, chunked batch-coupled forwards, fold."""
+        import jax
+        import jax.numpy as jnp
+
+        from moonsuperresolution_tpu.ops.blend import (
+            extract_patches, fold_weighted_moments, gaussian_blend_kernel)
+
+        eng = self._engine(True)
+        g = eng.geom
+        pi = np.asarray(extract_patches(jnp.asarray(slab_img),
+                                        (g.grid, g.grid), self.S, self.I))
+        pd = np.asarray(extract_patches(jnp.asarray(slab_dem),
+                                        (g.grid, g.grid), self.S, self.I))
+        n = g.grid * g.grid
+        pi, pd = pi.reshape(n, self.I, self.I), pd.reshape(n, self.I, self.I)
+        valid = (pi.min((1, 2)) > self.NO_VALUE) & (
+            pd.min((1, 2)) > self.NO_VALUE)
+        norm = np.zeros((n, self.I, self.I, 2), np.float32)
+        dmin = pd.min((1, 2)), pd.max((1, 2))
+        for k in range(n):
+            im, iM = pi[k].min(), pi[k].max()
+            dm, dM = pd[k].min(), pd[k].max()
+            norm[k, :, :, 0] = (pi[k] - im) / max(iM - im, 1e-12) - 0.5
+            norm[k, :, :, 1] = (pd[k] - dm) / max(dM - dm, 1e-12) - 0.5
+        # reference packing: valid patches in grid order, zero-pad the tail
+        order = [k for k in range(n) if valid[k]]
+        n_chunks = -(-n // self.B)
+        packed = np.zeros((n_chunks * self.B, self.I, self.I, 2), np.float32)
+        packed[: len(order)] = norm[order]
+        preds = np.zeros((n_chunks * self.B, self.I, self.I), np.float32)
+        active = -(-len(order) // self.B)
+        for c in range(active):
+            xb = jnp.asarray(packed[c * self.B : (c + 1) * self.B])
+            preds[c * self.B : (c + 1) * self.B] = np.asarray(
+                self._coupled_model({}, xb, None))
+        out = np.zeros((n, self.I, self.I), np.float32)
+        out[order] = preds[: len(order)]
+        vals = (out + 0.5) * (dmin[1] - dmin[0])[:, None, None] \
+            + dmin[0][:, None, None]
+        p0 = g.purge
+        vals = vals[:, p0 : self.I - p0, p0 : self.I - p0]
+        mean, std, _, good = fold_weighted_moments(
+            jnp.asarray(vals.reshape(g.grid, g.grid, g.patch, g.patch)),
+            jnp.asarray(valid.reshape(g.grid, g.grid).astype(np.float32)),
+            jnp.asarray(gaussian_blend_kernel(self.I)), self.S)
+        o = g.halo - p0
+        sl = slice(o, o + self.T)
+        mean, std, good = (np.asarray(a)[sl, sl] for a in (mean, std, good))
+        mean = np.where(good > 0, mean, self.NO_VALUE)
+        std = np.where(good > 0, std, self.NO_VALUE)
+        return mean, std, good
+
+    def test_packed_engine_matches_reference_batching(self, rng):
+        slab_img, slab_dem = self._slab(rng)
+        eng = self._engine(True)
+        eng.img_padded, eng.dem_padded = slab_img, slab_dem
+        mean_e, std_e, good_e = (np.asarray(a) for a in eng.process_tile(0, 0))
+        mean_o, std_o, good_o = self._oracle(slab_img, slab_dem)
+        assert (good_o > 0).any() and not (good_o > 0).all()
+        np.testing.assert_array_equal(good_e, good_o)
+        np.testing.assert_allclose(mean_e, mean_o, rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(std_e, std_o, rtol=1e-4, atol=1e-4)
+
+    def test_unpacked_mode_differs(self, rng):
+        """Sensitivity guard: with pack_valid=False the grid-order chunks mix
+        invalid patches into the batch moments, so outputs must differ."""
+        slab_img, slab_dem = self._slab(rng)
+        packed = self._engine(True)
+        packed.img_padded, packed.dem_padded = slab_img, slab_dem
+        unpacked = self._engine(False)
+        unpacked.img_padded, unpacked.dem_padded = slab_img, slab_dem
+        m_p = np.asarray(packed.process_tile(0, 0)[0])
+        m_u = np.asarray(unpacked.process_tile(0, 0)[0])
+        assert not np.allclose(m_p, m_u)
+
+
 def test_checkpointed_model_through_engine(tmp_path, rng):
     """Close the production loop: trained params -> Orbax checkpoint ->
     load_model_fn -> full-map inference with the real model."""
