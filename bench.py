@@ -12,8 +12,12 @@ the production SLURM config must finish <= 547,515 patch forwards
 V100 allocation => >= 25.35 patches/sec implied.  ``vs_baseline`` is
 measured throughput over that implied rate.
 
-Prints ONE JSON line.  Env knobs: BENCH_SMALL=1 (tiny config for CPU),
-BENCH_BATCH, BENCH_TILES.
+Prints ONE JSON line (plus FLOPs/MFU fields so the number is reproducible:
+model_gflops_per_patch is the XLA cost analysis of one generator+encoder
+forward divided by the batch, mfu is measured FLOP/s over the v5e bf16 peak
+of 197 TFLOP/s).  Env knobs: BENCH_SMALL=1 (tiny config for CPU),
+BENCH_BATCH, BENCH_TILES, BENCH_QUANT=int8 (quantized generator;
+mfu is then reported against the 394 TOPS int8 peak).
 """
 
 from __future__ import annotations
@@ -27,10 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_PATCHES_PER_SEC = 547515 / (6 * 3600)  # 25.35, see module docstring
+V5E_BF16_PEAK = 197e12
+V5E_INT8_PEAK = 394e12
 
 
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
+    quant = os.environ.get("BENCH_QUANT", "none")
     image_size = 128 if small else 512
     stride = image_size // 8
     tile_size = 256 if small else 1024
@@ -38,7 +45,7 @@ def main():
     n_tiles = int(os.environ.get("BENCH_TILES", 2 if small else 4))
 
     from moonsuperresolution_tpu.config import DSRConfig, ModelConfig, TrainConfig
-    from moonsuperresolution_tpu.infer.engine import DEMSuperResolution, TileGeometry
+    from moonsuperresolution_tpu.infer.engine import DEMSuperResolution
     from moonsuperresolution_tpu.train.trainers import GauGANTrainer
 
     cfg = TrainConfig(
@@ -48,10 +55,38 @@ def main():
     )
     trainer = GauGANTrainer(cfg)
     params = trainer.init(jax.random.PRNGKey(0)).params
+    params = {"generator": params["generator"], "encoder": params["encoder"]}
 
-    def model_fn(p, source, rng):
-        fake, _, _ = trainer._generate(p, source, rng)
-        return fake[..., 0]
+    if quant == "int8":
+        from moonsuperresolution_tpu.models.quant import QuantizedSpadeGenerator
+
+        qgen = QuantizedSpadeGenerator(image_size=image_size)
+        params = dict(params, generator=qgen.quantize(params["generator"]))
+
+        def model_fn(p, source, rng):
+            mean, logvar = trainer.encoder.apply(
+                {"params": p["encoder"]}, source)
+            from moonsuperresolution_tpu.models.networks import sample_latent
+
+            z = sample_latent(rng, mean, logvar)
+            return qgen.apply(p["generator"], z, source)[..., 0]
+    else:
+        def model_fn(p, source, rng):
+            fake, _, _ = trainer._generate(p, source, rng)
+            return fake[..., 0]
+
+    # FLOPs of one model forward (batch of `batch`), from XLA cost analysis.
+    def flops_per_patch():
+        src = jnp.zeros((batch, image_size, image_size, 2), jnp.bfloat16)
+        f = jax.jit(model_fn)
+        try:
+            ca = f.lower(params, src, jax.random.PRNGKey(0)).compile(
+            ).cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0)) / batch
+        except Exception:
+            return 0.0
 
     dsr_cfg = DSRConfig(image_size=image_size, stride=stride,
                         batch_size=batch, tile_size=tile_size,
@@ -87,11 +122,18 @@ def main():
 
     patches = n_tiles * geom.grid**2
     pps = patches / dt
+    gflops = flops_per_patch() / 1e9
+    peak = V5E_INT8_PEAK if quant == "int8" else V5E_BF16_PEAK
+    mfu = pps * gflops * 1e9 / peak if gflops else 0.0
     result = {
         "metric": f"sr_patches_per_sec_{image_size}",
         "value": round(pps, 2),
         "unit": "patches/s",
         "vs_baseline": round(pps / BASELINE_PATCHES_PER_SEC, 2),
+        "model_gflops_per_patch": round(gflops, 1),
+        "mfu": round(mfu, 4),
+        "mfu_peak": "int8_394T" if quant == "int8" else "bf16_197T",
+        "quantize": quant,
     }
     print(json.dumps(result))
 

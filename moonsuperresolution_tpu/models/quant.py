@@ -1,0 +1,193 @@
+"""Int8 inference path for the SPADE generator.
+
+TPU v5e executes int8 x int8 -> int32 convolutions at 2x the bf16 MXU rate
+(394 vs 197 peak TOPS), and the generator convs are ~98% of inference time
+(COVERAGE.md ablation) — so weight+activation int8 quantization is the main
+single-chip lever toward the <5 min full-map target (BASELINE.md).
+
+Scheme (standard dynamic PTQ):
+- weights: symmetric per-output-channel int8, quantized once at load time;
+- activations: symmetric per-tensor int8 with the scale computed on the fly
+  (one max-reduction per conv input — cheap next to the conv);
+- accumulation in int32, dequantized as ``y = acc * (s_x * s_w[c]) + bias``;
+- everything that is small or precision-critical stays bf16/f32: the latent
+  Dense, the 2->128 mask convs, SPADE statistics/normalization, the 4x4
+  output head, and the whole encoder.
+
+This is an *opt-in* speed mode (``DSRConfig.quantize = "int8"``): outputs
+deviate from the f32/bf16 reference path by design; the deviation is
+measured by tests/test_quant.py and reported by bench.py.  The forward
+mirrors ``models/networks.py::SpadeGenerator`` (reference:
+spade/models/networks.py:37-57) exactly, with the gamma/beta convs of each
+SPADE fused into one int8 conv like the bf16 path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from moonsuperresolution_tpu.ops.resize import resize_nearest
+
+
+def _quant_kernel_per_channel(kernel: jnp.ndarray):
+    """Symmetric per-output-channel int8 quantization of an HWIO kernel.
+    Returns (int8 kernel, float32 scale[Cout])."""
+    k = jnp.asarray(kernel, jnp.float32)
+    amax = jnp.max(jnp.abs(k), axis=tuple(range(k.ndim - 1)))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    kq = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    return kq, scale
+
+
+def _quant_act_per_tensor(x: jnp.ndarray):
+    """Dynamic symmetric per-tensor int8 activation quantization."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return xq, s
+
+
+def _qconv(x: jnp.ndarray, qk: jnp.ndarray, w_scale: jnp.ndarray,
+           bias: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """int8 dynamic-quant conv: quantize x, s8xs8->s32 conv, dequantize."""
+    xq, s_x = _quant_act_per_tensor(x)
+    dn = jax.lax.conv_dimension_numbers(xq.shape, qk.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    acc = jax.lax.conv_general_dilated(
+        xq, qk, (1, 1), "SAME", dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (s_x * w_scale) + bias
+    return y.astype(out_dtype)
+
+
+def _conv_bf16(x, kernel, bias):
+    k = jnp.asarray(kernel, x.dtype)
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=dn
+    ) + jnp.asarray(bias, x.dtype)
+
+
+def _quantize_conv(p):
+    kq, s = _quant_kernel_per_channel(p["kernel"])
+    return {"kernel": kq, "scale": s,
+            "bias": jnp.asarray(p["bias"], jnp.float32)}
+
+
+def _quantize_spade(sp):
+    """Quantize one SPADE's gamma/beta convs (fused) — the mask conv stays
+    bf16 (2 input channels; negligible FLOPs, precision-sensitive)."""
+    kq_g, s_g = _quant_kernel_per_channel(sp["conv_gamma"]["kernel"])
+    kq_b, s_b = _quant_kernel_per_channel(sp["conv_beta"]["kernel"])
+    return {
+        "conv": {"kernel": jnp.asarray(sp["conv"]["kernel"], jnp.float32),
+                 "bias": jnp.asarray(sp["conv"]["bias"], jnp.float32)},
+        "gb": {
+            "kernel": jnp.concatenate([kq_g, kq_b], axis=-1),
+            "scale": jnp.concatenate([s_g, s_b]),
+            "bias": jnp.concatenate([
+                jnp.asarray(sp["conv_gamma"]["bias"], jnp.float32),
+                jnp.asarray(sp["conv_beta"]["bias"], jnp.float32),
+            ]),
+        },
+    }
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizedSpadeGenerator:
+    """Int8 twin of ``models/networks.py::SpadeGenerator`` (same param tree
+    as input; quantized once via :meth:`quantize`)."""
+
+    image_size: int
+    alpha: float = 0.2
+    stats: str = "batch"
+    channel_plan: tuple = (1024, 1024, 1024, 512, 256, 128)
+    epsilon: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    # ------------------------------------------------------------- quantize
+
+    def quantize(self, params) -> dict:
+        """Generator flax params -> quantized param tree (call once, outside
+        jit; the result is a valid jit argument)."""
+        q = {
+            "dense": {"kernel": jnp.asarray(params["dense"]["kernel"],
+                                            jnp.float32),
+                      "bias": jnp.asarray(params["dense"]["bias"],
+                                          jnp.float32)},
+            "head": {"kernel": jnp.asarray(params["head"]["kernel"],
+                                           jnp.float32),
+                     "bias": jnp.asarray(params["head"]["bias"],
+                                         jnp.float32)},
+        }
+        for i in range(len(self.channel_plan)):
+            blk = params[f"resblock_{i}"]
+            qb = {
+                "spade_1": _quantize_spade(blk["spade_1"]),
+                "spade_2": _quantize_spade(blk["spade_2"]),
+                "conv_1": _quantize_conv(blk["conv_1"]),
+                "conv_2": _quantize_conv(blk["conv_2"]),
+            }
+            if "spade_3" in blk:
+                qb["spade_3"] = _quantize_spade(blk["spade_3"])
+                qb["conv_3"] = _quantize_conv(blk["conv_3"])
+            q[f"resblock_{i}"] = qb
+        return q
+
+    # -------------------------------------------------------------- forward
+
+    def _spade(self, qs, x, mask):
+        mask = resize_nearest(mask, (x.shape[1], x.shape[2]))
+        h = _conv_bf16(mask.astype(self.dtype), qs["conv"]["kernel"],
+                       qs["conv"]["bias"])
+        h = jax.nn.relu(h)
+        gb = _qconv(h, qs["gb"]["kernel"], qs["gb"]["scale"],
+                    qs["gb"]["bias"], out_dtype=self.dtype)
+        f = gb.shape[-1] // 2
+        gamma, beta = gb[..., :f], gb[..., f:]
+        axes = (0, 1, 2) if self.stats == "batch" else (1, 2)
+        xs = x.astype(jnp.float32)
+        mean = jnp.mean(xs, axis=axes, keepdims=True)
+        var = jnp.var(xs, axis=axes, keepdims=True)
+        normalized = (xs - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        return gamma * normalized.astype(self.dtype) + beta
+
+    def _resblock(self, qb, x, mask):
+        lrelu = lambda v: jax.nn.leaky_relu(v, self.alpha)
+        h = self._spade(qb["spade_1"], x, mask)
+        h = _qconv(lrelu(h), qb["conv_1"]["kernel"], qb["conv_1"]["scale"],
+                   qb["conv_1"]["bias"], out_dtype=self.dtype)
+        h = self._spade(qb["spade_2"], h, mask)
+        h = _qconv(lrelu(h), qb["conv_2"]["kernel"], qb["conv_2"]["scale"],
+                   qb["conv_2"]["bias"], out_dtype=self.dtype)
+        if "conv_3" in qb:
+            skip = self._spade(qb["spade_3"], x, mask)
+            skip = _qconv(lrelu(skip), qb["conv_3"]["kernel"],
+                          qb["conv_3"]["scale"], qb["conv_3"]["bias"],
+                          out_dtype=self.dtype)
+        else:
+            skip = x
+        return skip + h
+
+    def apply(self, qparams, latent: jnp.ndarray,
+              source: jnp.ndarray) -> jnp.ndarray:
+        sw = self.image_size // 2**6
+        x = (latent.astype(self.dtype)
+             @ jnp.asarray(qparams["dense"]["kernel"], self.dtype)
+             + jnp.asarray(qparams["dense"]["bias"], self.dtype))
+        x = x.reshape(-1, sw, sw, 1024)
+        source = source.astype(self.dtype)
+        from moonsuperresolution_tpu.models.networks import upsample2x_nearest
+
+        for i in range(len(self.channel_plan)):
+            x = self._resblock(qparams[f"resblock_{i}"], x, source)
+            x = upsample2x_nearest(x)
+        x = jax.nn.leaky_relu(x, 0.2)
+        x = _conv_bf16(x, qparams["head"]["kernel"], qparams["head"]["bias"])
+        return x.astype(jnp.float32)

@@ -1,0 +1,106 @@
+"""Int8 generator: structure, determinism, and deviation vs the f32 path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moonsuperresolution_tpu.models.networks import SpadeGenerator
+from moonsuperresolution_tpu.models.quant import (
+    QuantizedSpadeGenerator,
+    _quant_act_per_tensor,
+    _quant_kernel_per_channel,
+)
+
+IMG = 64
+
+
+@pytest.fixture(scope="module")
+def gen_and_params():
+    gen = SpadeGenerator(image_size=IMG)
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    src = jnp.asarray(rng.standard_normal((2, IMG, IMG, 2)) * 0.3,
+                      jnp.float32)
+    params = gen.init(jax.random.PRNGKey(0), z, src)["params"]
+    return gen, params, z, src
+
+
+def test_kernel_quantization_roundtrip():
+    rng = np.random.default_rng(1)
+    k = jnp.asarray(rng.standard_normal((3, 3, 8, 16)) * 0.2, jnp.float32)
+    kq, scale = _quant_kernel_per_channel(k)
+    assert kq.dtype == jnp.int8 and scale.shape == (16,)
+    err = np.abs(np.asarray(kq, np.float32) * np.asarray(scale) - np.asarray(k))
+    # quantization error bounded by half a step per channel
+    assert (err <= 0.5 * np.asarray(scale)[None, None, None] + 1e-7).all()
+    # per-channel max hits 127 exactly (symmetric scheme)
+    assert (np.abs(np.asarray(kq)).max(axis=(0, 1, 2)) == 127).all()
+
+
+def test_activation_quantization():
+    x = jnp.asarray([[0.5, -2.0, 1.0]], jnp.float32)
+    xq, s = _quant_act_per_tensor(x)
+    assert xq.dtype == jnp.int8
+    np.testing.assert_allclose(float(s), 2.0 / 127.0, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(xq), [[32, -127, 64]])
+
+
+def test_int8_generator_close_to_f32(gen_and_params):
+    """The int8 forward must track the f32 forward closely: this bounds the
+    fidelity cost of the opt-in speed mode.  The DEM output lives in
+    [-0.5, 0.5]; require small relative deviation in that range."""
+    gen, params, z, src = gen_and_params
+    ref = np.asarray(gen.apply({"params": params}, z, src))
+
+    qgen = QuantizedSpadeGenerator(image_size=IMG, dtype=jnp.float32)
+    qparams = qgen.quantize(params)
+    out = np.asarray(jax.jit(qgen.apply)(qparams, z, src))
+
+    assert out.shape == ref.shape
+    span = ref.max() - ref.min()
+    rel_rmse = np.sqrt(np.mean((out - ref) ** 2)) / max(span, 1e-9)
+    assert rel_rmse < 0.02, rel_rmse
+    # quantization must actually change something (sensitivity guard)
+    assert not np.array_equal(out, ref)
+
+
+def test_int8_deterministic(gen_and_params):
+    gen, params, z, src = gen_and_params
+    qgen = QuantizedSpadeGenerator(image_size=IMG, dtype=jnp.float32)
+    qparams = qgen.quantize(params)
+    a = np.asarray(qgen.apply(qparams, z, src))
+    b = np.asarray(qgen.apply(qparams, z, src))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_engine_int8_load(tmp_path, gen_and_params):
+    """load_model_fn(quantize="int8") end to end through a checkpoint."""
+    from moonsuperresolution_tpu.config import ModelConfig, TrainConfig
+    from moonsuperresolution_tpu.infer.engine import load_model_fn
+    from moonsuperresolution_tpu.train.trainers import GauGANTrainer
+    from moonsuperresolution_tpu.utils.checkpoint import save_params
+
+    cfg = TrainConfig(
+        model=ModelConfig(variant="cnn_spade", image_size=IMG, latent_dim=16),
+        batch_size=2,
+    )
+    trainer = GauGANTrainer(cfg)
+    state = trainer.init(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "ckpt")
+    save_params(ckpt, jax.device_get(state.params))
+
+    fn_q, p_q = load_model_fn(ckpt, "cnn_spade", IMG, latent_dim=16,
+                              quantize="int8")
+    fn_f, p_f = load_model_fn(ckpt, "cnn_spade", IMG, latent_dim=16,
+                              compute_dtype="float32")
+    rng = np.random.default_rng(2)
+    src = jnp.asarray(rng.standard_normal((2, IMG, IMG, 2)) * 0.3,
+                      jnp.float32)
+    key = jax.random.PRNGKey(1)
+    out_q = np.asarray(fn_q(p_q, src, key))
+    out_f = np.asarray(fn_f(p_f, src, key))
+    assert out_q.shape == out_f.shape == (2, IMG, IMG)
+    span = out_f.max() - out_f.min()
+    rel = np.sqrt(np.mean((out_q - out_f) ** 2)) / max(span, 1e-9)
+    assert rel < 0.03, rel
