@@ -37,6 +37,17 @@ def parse():
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv/matmul compute (params stay fp32)")
+    p.add_argument("--grad_accum", type=int, default=None,
+                   help="micro-steps per optimizer update (effective batch "
+                        "= grad_accum * batch_size); for the bs2 512 recipes")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize the JAX multi-host runtime (auto-detect "
+                        "cluster env, or use --coordinator/--num_processes/"
+                        "--process_id / MOONSR_* env vars)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="coordinator address host:port for multi-host runs")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
 
@@ -45,6 +56,12 @@ def main():
     from moonsuperresolution_tpu.train.loop import train
 
     args = parse()
+    if args.distributed or args.coordinator:
+        from moonsuperresolution_tpu.parallel.distributed import initialize
+
+        initialize(coordinator_address=args.coordinator,
+                   num_processes=args.num_processes,
+                   process_id=args.process_id)
     cfg = RECIPES[args.recipe]
     cfg = dataclasses.replace(
         cfg,
@@ -57,6 +74,7 @@ def main():
         **({"epochs": args.epochs} if args.epochs else {}),
         **({"batch_size": args.batch_size} if args.batch_size else {}),
         **({"vgg_weights_path": args.vgg_weights} if args.vgg_weights else {}),
+        **({"grad_accum": args.grad_accum} if args.grad_accum else {}),
     )
     if args.bf16:
         cfg = dataclasses.replace(

@@ -63,6 +63,8 @@ class TileSampler:
         upscaling: int = 16,
         interpolation: str = "cubic",
         seed: Optional[int] = None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         import h5py
 
@@ -72,6 +74,13 @@ class TileSampler:
         with open(pkl_path, "rb") as f:
             self.dataset = pickle.load(f)
         self.keys = list(self.dataset.keys())
+        self.global_num_samples = len(self.keys)
+        self.process_count = process_count
+        if process_count > 1:
+            # Multi-host data parallelism: each process samples a disjoint
+            # slice of the key space (the reference is single-process and
+            # has no analog; SURVEY §2.2 comm-backend row).
+            self.keys = self.keys[process_index::process_count]
         self.num_samples = len(self.keys)
         self.h5 = h5py.File(h5_path, "r")
         self.rng = np.random.default_rng(seed)

@@ -39,7 +39,15 @@ from moonsuperresolution_tpu.utils.colorize import colorize
 
 
 class TBLogger:
-    """Thin tensorboardX wrapper; no-ops when logging is disabled."""
+    """Thin tensorboardX wrapper; no-ops when logging is disabled.
+
+    Metric-name mapping vs the reference's TensorBoard tags: ours are
+    semantic.  The reference logs the *normal-vector* loss under the tag
+    "grad_loss" and the *gradient* loss under "norm_loss" — the names are
+    swapped at model.py:84-85 (same swap in CNNSpade, model.py:682-683;
+    SURVEY §0.2).  Here ``norm_loss`` is always the surface-normal cosine
+    loss and ``grad_loss`` the image-gradient L1 loss.
+    """
 
     def __init__(self, log_dir: Optional[str]):
         self.writer = None
@@ -95,7 +103,24 @@ def train(
     log: bool = True,
     profile_dir: Optional[str] = None,
 ):
-    """Run the full training recipe; returns (trainer, final_state, history)."""
+    """Run the full training recipe; returns (trainer, final_state, history).
+
+    Multi-host: call ``parallel.distributed.initialize`` first (cli/train
+    does with --coordinator/--num_processes/--process_id); each process then
+    loads a disjoint dataset slice and contributes its local shard of the
+    global batch, TB/console logging runs on process 0 only, and every
+    process executes the same jitted step over the global mesh.
+    """
+    pindex, pcount = jax.process_index(), jax.process_count()
+    if pcount > 1:
+        if mesh is None:
+            raise ValueError("multi-process training requires a mesh")
+        if cfg.batch_size % pcount:
+            raise ValueError(
+                f"global batch_size {cfg.batch_size} must divide by "
+                f"process count {pcount}")
+        log = log and pindex == 0
+    local_bs = cfg.batch_size // pcount
     run_name = time.strftime("%Y%m%d-%H%M%S")
     out = cfg.output_path
     model_dir = os.path.join(out, "models", run_name)
@@ -117,10 +142,8 @@ def train(
         resumed = True
 
     if mesh is not None:
-        from moonsuperresolution_tpu.parallel.mesh import (
-            shard_batch,
-            shard_state_for_dp_tp,
-        )
+        from moonsuperresolution_tpu.parallel.distributed import global_batch
+        from moonsuperresolution_tpu.parallel.mesh import shard_state_for_dp_tp
 
         state = shard_state_for_dp_tp(state, mesh)
         if cfg.batch_size % mesh.shape["data"]:
@@ -130,21 +153,26 @@ def train(
             )
 
         def _to_device(x, y):
-            return shard_batch((jnp.asarray(x), jnp.asarray(y)), mesh)
+            # local (per-process) shards -> one global data-sharded array
+            return global_batch((np.asarray(x), np.asarray(y)), mesh)
     else:
         def _to_device(x, y):
             return jnp.asarray(x), jnp.asarray(y)
 
     if synthetic:
-        trn = SyntheticSampler(hw=cfg.model.image_size, seed=cfg.seed)
-        val = SyntheticSampler(hw=cfg.model.image_size, seed=cfg.seed + 1)
+        trn = SyntheticSampler(hw=cfg.model.image_size,
+                               seed=cfg.seed + 1000 * pindex)
+        val = SyntheticSampler(hw=cfg.model.image_size,
+                               seed=cfg.seed + 1 + 1000 * pindex)
     else:
         d = cfg.data
         trn = TileSampler(d.h5_path, d.train_pkl, hw=cfg.model.image_size,
-                          upscaling=cfg.model.upscaling_factor, seed=cfg.seed)
+                          upscaling=cfg.model.upscaling_factor, seed=cfg.seed,
+                          process_index=pindex, process_count=pcount)
         val = TileSampler(d.h5_path, d.val_pkl, hw=cfg.model.image_size,
                           upscaling=cfg.model.upscaling_factor,
-                          seed=cfg.seed + 1)
+                          seed=cfg.seed + 1,
+                          process_index=pindex, process_count=pcount)
 
     steps = max_steps_per_epoch or _steps_per_epoch(cfg, synthetic, trn)
     start_epoch = 0
@@ -158,7 +186,13 @@ def train(
     for epoch in range(start_epoch, cfg.epochs):
         # ---- train
         t0 = time.time()
-        it = _epoch_batches(trn, cfg, steps, synthetic)
+        it = _epoch_batches(trn, local_bs, steps, synthetic)
+        if pcount > 1:
+            # bound every process to the agreed step count (ragged local
+            # shards would otherwise desynchronize the collectives)
+            import itertools
+
+            it = itertools.islice(it, steps)
         train_acc = []
         for step, (x, y) in enumerate(BatchPrefetcher(it, depth=4)):
             x, y = augment_batch(x, y, aug_rng)
@@ -186,8 +220,12 @@ def train(
         # ---- validate (full pass, train_spade_256.py:92-100)
         val_acc = []
         vx = vy = vf = None
-        for vx, vy in BatchPrefetcher(_epoch_batches(val, cfg, max(1, steps // 10),
-                                                     synthetic), depth=2):
+        val_it = _epoch_batches(val, local_bs, max(1, steps // 10), synthetic)
+        if pcount > 1:
+            import itertools
+
+            val_it = itertools.islice(val_it, max(1, steps // 10))
+        for vx, vy in BatchPrefetcher(val_it, depth=2):
             vxd, vyd = _to_device(vx, vy)
             vm, vf = trainer.val_step(state.params, vxd, vyd,
                                       jax.random.fold_in(rng, 2**31 + epoch))
@@ -219,11 +257,17 @@ def train(
 def _steps_per_epoch(cfg, synthetic, sampler=None):
     if synthetic:
         return 8
-    n = sampler.num_samples if sampler is not None else 0
-    return max(1, n // cfg.batch_size)
+    if sampler is None:
+        return 1
+    # Identical on every process (collective steps must agree across hosts):
+    # derived from the GLOBAL sample count, floored to the shortest local
+    # shard, in units of the global batch.
+    pc = getattr(sampler, "process_count", 1)
+    n_min_local = sampler.global_num_samples // pc
+    return max(1, n_min_local // (cfg.batch_size // pc))
 
 
-def _epoch_batches(sampler, cfg, steps, synthetic):
+def _epoch_batches(sampler, bs, steps, synthetic):
     if synthetic:
-        return sampler.batches(cfg.batch_size, steps)
-    return sampler.batches(cfg.batch_size, shuffle=True)
+        return sampler.batches(bs, steps)
+    return sampler.batches(bs, shuffle=True)
