@@ -38,6 +38,24 @@ def parse():
     p.add_argument("--shard_index", type=int, default=0)
     p.add_argument("--num_shards", type=int, default=1)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="int8: dynamically-quantized generator (faster, "
+                        "small output deviation)")
+    p.add_argument("--fill_method", type=str, default="fast",
+                   choices=["fast", "reference"],
+                   help="nodata interpolation: 'reference' is the exact "
+                        "whole-tile cubic griddata (slow); 'fast' restricts "
+                        "to hole neighbourhoods")
+    p.add_argument("--fill_workers", type=int, default=0,
+                   help="process pool for hole filling (0 = one per CPU)")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize the JAX multi-host runtime and shard the "
+                        "tile list by process automatically (merge with "
+                        "cli/merge_maps afterwards)")
+    p.add_argument("--coordinator", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
 
@@ -49,6 +67,17 @@ def main():
     )
 
     a = parse()
+    if a.distributed or a.coordinator:
+        import jax
+
+        from moonsuperresolution_tpu.parallel.distributed import initialize
+
+        initialize(coordinator_address=a.coordinator,
+                   num_processes=a.num_processes, process_id=a.process_id)
+        if a.num_shards == 1:
+            # default: one tile-list shard per process
+            a.shard_index = jax.process_index()
+            a.num_shards = jax.process_count()
     cfg = DSRConfig(
         image_size=a.image_size, stride=a.stride, batch_size=a.batch_size,
         tile_size=a.tile_size, no_value=a.no_value,
@@ -56,12 +85,15 @@ def main():
         save_path=a.save_path, source_folder_path=a.source_folder_path,
         ortho_image_name=a.ortho_image_name, dem_name=a.dem_name,
         model_path=a.model_path, model_kind=a.model_kind,
-        compute_dtype=a.compute_dtype,
+        compute_dtype=a.compute_dtype, quantize=a.quantize,
+        fill_workers=a.fill_workers,
     )
-    model, params = load_model_fn(a.model_path, a.model_kind, a.image_size)
+    model, params = load_model_fn(a.model_path, a.model_kind, a.image_size,
+                                  quantize=a.quantize)
     engine = DEMSuperResolution(cfg, model=model, model_params=params)
     stats = engine.process_map(shard_index=a.shard_index,
-                               num_shards=a.num_shards)
+                               num_shards=a.num_shards,
+                               fill_method=a.fill_method)
     print(stats)
 
 

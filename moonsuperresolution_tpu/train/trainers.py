@@ -89,6 +89,12 @@ class GauGANTrainer:
         o = cfg.optimizer
         self.gen_tx = _adam(o.gen_lr, o.beta1, o.beta2, o.eps)
         self.disc_tx = _adam(o.disc_lr, o.beta1, o.beta2, o.eps)
+        if cfg.grad_accum > 1:
+            # Mean-accumulate gradients over grad_accum micro-steps; the
+            # inner Adam applies once per effective batch (reference bs2
+            # 512 recipes gain effective batch without more HBM).
+            self.gen_tx = optax.MultiSteps(self.gen_tx, cfg.grad_accum)
+            self.disc_tx = optax.MultiSteps(self.disc_tx, cfg.grad_accum)
 
         if vgg_params is None:
             if cfg.vgg_weights_path:
@@ -302,6 +308,12 @@ class Pix2PixTrainer:
         o = cfg.optimizer
         self.gen_tx = _adam(o.gen_lr, o.beta1, o.beta2, o.eps)
         self.disc_tx = _adam(o.disc_lr, o.beta1, o.beta2, o.eps)
+        if cfg.grad_accum > 1:
+            # Mean-accumulate gradients over grad_accum micro-steps; the
+            # inner Adam applies once per effective batch (reference bs2
+            # 512 recipes gain effective batch without more HBM).
+            self.gen_tx = optax.MultiSteps(self.gen_tx, cfg.grad_accum)
+            self.disc_tx = optax.MultiSteps(self.disc_tx, cfg.grad_accum)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._val_step = jax.jit(self._val_step_impl)
         self._forward = jax.jit(self._forward_impl)
@@ -385,11 +397,12 @@ class Pix2PixTrainer:
         return new_state, metrics, gen_out
 
     def _val_step_impl(self, params, source, target, rng):
-        # The reference runs val with training=True (BN batch stats + live
-        # dropout, pix2pix.py:163-169); we keep batch-stat norm but disable
-        # dropout for deterministic validation.
+        # Reference parity: val runs with training=True — live dropout and
+        # BN batch stats (pix2pix.py:163-169) — so val-loss curves match the
+        # reference's during training-parity comparisons.  Deterministic
+        # given the same rng (the loop folds a fixed per-epoch key).
         g_total, gan, l1, d_loss, gen_out = self._losses(
-            params, source, target, rng, deterministic=True
+            params, source, target, rng, deterministic=False
         )
         return (
             {"gen_loss": g_total, "gan_loss": gan, "l1_loss": l1,

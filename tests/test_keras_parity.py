@@ -190,6 +190,92 @@ def test_discriminator_parity(data):
         np.testing.assert_allclose(np.asarray(jf), kf, rtol=1e-3, atol=1e-4)
 
 
+def test_vgg19_weight_loader_and_features(tmp_path, data):
+    """load_keras_vgg19_weights + VGG19Features vs a live
+    keras.applications VGG19 (reference: spade/losses.py:56-80).
+
+    Uses tf_keras (legacy Keras 2), whose ``save_weights(...h5)`` writes the
+    same layer-group HDF5 layout as the distributed
+    vgg19_weights_tf_dim_ordering_tf_kernels_notop.h5 artifact — so this
+    pins the loader end-to-end.  Weights are random (this environment has no
+    egress to fetch the imagenet file; see scripts/fetch_vgg19_weights.md),
+    which exercises the exact same code path.
+    """
+    tfk = pytest.importorskip("tf_keras")
+
+    from moonsuperresolution_tpu.models.vgg import (
+        VGG19Features,
+        load_keras_vgg19_weights,
+        vgg_preprocess,
+    )
+
+    kvgg = tfk.applications.VGG19(include_top=False, weights=None,
+                                  input_shape=(IMG, IMG, 3))
+    h5 = str(tmp_path / "vgg19_random.h5")
+    kvgg.save_weights(h5)
+    params = load_keras_vgg19_weights(h5)
+
+    rng = np.random.default_rng(7)
+    raw = rng.uniform(-1, 1, (2, IMG, IMG, 3)).astype(np.float32)
+
+    # preprocessing parity: ours fuses the reference's 127.5*(x+1) rescale
+    # (losses.py:72-74) with keras' caffe preprocess_input
+    k_pre = tfk.applications.vgg19.preprocess_input(127.5 * (raw + 1.0))
+    j_pre = np.asarray(vgg_preprocess(jnp.asarray(raw)))
+    np.testing.assert_allclose(j_pre, k_pre, rtol=1e-6, atol=1e-4)
+
+    taps = [kvgg.get_layer(f"block{i}_conv1").output for i in range(1, 6)]
+    k_feats = tfk.Model(kvgg.input, taps)(k_pre)
+    j_feats = VGG19Features().apply({"params": params}, jnp.asarray(j_pre))
+    assert len(j_feats) == 5
+    for i, (jf, kf) in enumerate(zip(j_feats, k_feats)):
+        np.testing.assert_allclose(np.asarray(jf), kf.numpy(),
+                                   rtol=1e-3, atol=1e-3,
+                                   err_msg=f"block{i + 1}_conv1")
+
+
+def test_no_kl_forward_parity(data):
+    """GauGAN_no_KL end-to-end forward: deterministic latent z = mean +
+    variance (no sampler; model.py:153-154, 178) through encoder + generator,
+    driven via the trainer's _generate path so the variant dispatch itself is
+    pinned, not just the networks."""
+    from moonsuperresolution_tpu.config import ModelConfig, TrainConfig
+    from moonsuperresolution_tpu.train.trainers import GauGANTrainer
+
+    src, _, _ = data
+    k_enc = build_keras_encoder()
+    k_gen = build_keras_generator()
+    src_t = tf.convert_to_tensor(src)
+    k_mean, k_var = k_enc(src_t)
+    k_z = k_mean + k_var
+    k_out = k_gen([k_z, src_t]).numpy()
+
+    enc_names, enc_vals = _keras_ordered_weights(k_enc)
+    gen_names, gen_vals = _keras_ordered_weights(k_gen)
+    params = {
+        "encoder": encoder_params_from_weights(enc_names, enc_vals),
+        "generator": generator_params_from_weights(gen_names, gen_vals),
+    }
+    cfg = TrainConfig(
+        model=ModelConfig(variant="gaugan_no_kl", image_size=IMG,
+                          latent_dim=LATENT, feature_loss_coeff=5.0),
+        batch_size=2,
+    )
+    trainer = GauGANTrainer(cfg)
+    # rng must be irrelevant: the no-KL latent is deterministic.
+    out_a, mean_a, logvar_a = trainer._generate(
+        params, jnp.asarray(src), jax.random.PRNGKey(0))
+    out_b, _, _ = trainer._generate(
+        params, jnp.asarray(src), jax.random.PRNGKey(123))
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    np.testing.assert_allclose(np.asarray(mean_a), k_mean.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logvar_a), k_var.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_a)[..., 0], k_out[..., 0],
+                               rtol=2e-3, atol=2e-3)
+
+
 # --- pix2pix (pix2pix.py:64-135 semantics) ---------------------------------
 
 P2P_DEPTH = 6  # full reference depth is 8; 6 keeps the CPU test fast

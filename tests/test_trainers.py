@@ -108,6 +108,157 @@ class TestGauGAN:
         assert float(jnp.abs(a - b).max()) > 0
 
 
+class TestGauGANNoKL:
+    """Numeric pinning of the reference's most bug-riddled class
+    (GauGAN_no_KL, model.py:27-338 with the merge conflict of SURVEY §0.1):
+    deterministic mean+logvar latent, normal+gradient loss terms at coeff 1,
+    feature coeff 5, upscaling 16, and NO KL term."""
+
+    @pytest.fixture(scope="class")
+    def no_kl(self):
+        from moonsuperresolution_tpu.config import RECIPES
+
+        cfg = RECIPES["spade_no_kl_512"]
+        # shrink for CPU while keeping every recipe hyperparameter
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, image_size=64, latent_dim=16),
+            batch_size=2,
+        )
+        tr = make_trainer(cfg)
+        return tr, jax.device_get(tr.init(jax.random.PRNGKey(0)))
+
+    def test_deterministic_latent(self, no_kl, rng):
+        """z = mean + logvar, no sampler (model.py:153-154, 178)."""
+        tr, host_state = no_kl
+        state = _fresh(host_state)
+        src, _ = _batch(rng)
+        a = tr.forward(state.params, src, jax.random.PRNGKey(1))
+        b = tr.forward(state.params, src, jax.random.PRNGKey(2))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_loss_terms_and_coefficients(self, no_kl, rng):
+        """The val metrics must be exactly coeff * loss_fn for every term in
+        the no-KL stack (model.py:186-194: hinge + 5*featmatch + 0.1*VGG +
+        2*consistency(16) + 1*normal + 1*gradient; no KL).
+
+        Note the reference *logs* normal under the tag "grad_loss" and
+        gradient under "norm_loss" (swapped, model.py:84-85 / SURVEY §0.2);
+        our metric names are semantic — see train/loop.py metric mapping.
+        """
+        from moonsuperresolution_tpu import losses as L
+        from moonsuperresolution_tpu.models import vgg as vggmod
+
+        tr, host_state = no_kl
+        state = _fresh(host_state)
+        src, tgt = _batch(rng)
+        rng_key = jax.random.PRNGKey(1)
+        metrics, fake = tr.val_step(state.params, src, tgt, rng_key)
+
+        assert "kl_loss" not in metrics
+        m = tr.cfg.model
+        assert (m.feature_loss_coeff, m.normal_loss_coeff,
+                m.gradient_loss_coeff, m.consistency_loss_coeff,
+                m.upscaling_factor) == (5.0, 1.0, 1.0, 2.0, 16)
+
+        # un-jitted forward tracks the jitted val_step forward (XLA fusion
+        # reassociation leaves ~1e-7 noise)
+        fake2, _, _ = tr._generate(state.params, src, rng_key)
+        np.testing.assert_allclose(np.asarray(fake), np.asarray(fake2),
+                                   atol=1e-5)
+        expected = {
+            "norm_loss": 1.0 * L.normal_loss(tgt, fake),
+            "grad_loss": 1.0 * L.gradient_loss(tgt, fake),
+            "cons_loss": 2.0 * L.consistency_loss(fake, tgt, 16),
+            "vgg_loss": 0.1 * vggmod.vgg_feature_matching_loss(
+                tr.vgg_params, vggmod.repeat3(tgt), vggmod.repeat3(fake)),
+        }
+        real_feats = tr.discriminator.apply(
+            {"params": state.params["discriminator"]}, src, tgt)
+        fake_feats = tr.discriminator.apply(
+            {"params": state.params["discriminator"]}, src, fake)
+        expected["g_hinge"] = L.generator_hinge_loss(fake_feats[-1])
+        expected["feat_loss"] = 5.0 * L.feature_matching_loss(
+            real_feats, fake_feats)
+        for k, v in expected.items():
+            np.testing.assert_allclose(float(metrics[k]), float(v),
+                                       rtol=1e-5, err_msg=k)
+        np.testing.assert_allclose(
+            float(metrics["gen_loss"]),
+            float(sum(expected.values())), rtol=1e-5)
+
+    def test_train_step_updates_both_nets(self, no_kl, rng):
+        tr, host_state = no_kl
+        state = _fresh(host_state)
+        src, tgt = _batch(rng)
+        s1, metrics, _ = tr.train_step(state, src, tgt, jax.random.PRNGKey(3))
+        assert "norm_loss" in metrics and "grad_loss" in metrics
+        assert "kl_loss" not in metrics
+        for part in ("discriminator", "generator", "encoder"):
+            d = jax.tree_util.tree_map(
+                lambda a, b: float(jnp.abs(jnp.asarray(a) - b).max()),
+                host_state.params[part], s1.params[part])
+            assert max(jax.tree_util.tree_leaves(d)) > 0, part
+
+
+def test_grad_accum_effective_batch_equivalence(rng):
+    """bs2 x grad_accum=2 must land on the same params as one bs4 step.
+
+    Holds exactly when nothing couples samples across the batch: cnn_spade
+    with spade_stats="instance" is rng-free and batch-decoupled, losses are
+    batch means, and optax.MultiSteps mean-accumulates gradients — so
+    mean(grad(b1), grad(b2)) == grad(concat(b1, b2)) and the single inner
+    Adam update coincides.  (With the reference's batch-coupled SPADE stats
+    the forwards themselves differ; that's a model property, not an
+    accumulation bug.)
+    """
+    import dataclasses
+
+    import optax
+
+    def cfg(bs, accum):
+        return TrainConfig(
+            model=ModelConfig(variant="cnn_spade", image_size=64,
+                              latent_dim=16, spade_stats="instance"),
+            batch_size=bs, grad_accum=accum,
+        )
+
+    src, tgt = _batch(rng, b=4)
+    key = jax.random.PRNGKey(5)
+    LR = 1e-3
+
+    # SGD instead of Adam for the equivalence check: the SGD update is
+    # *linear* in the gradient, so mean(grad(b1), grad(b2)) == grad(b1+b2)
+    # transfers to params at f32 rounding tolerance.  (Adam's g/(|g|+eps)
+    # amplifies rounding without bound as |g| -> 0 — an elementwise param
+    # comparison under Adam is ill-conditioned, while the MultiSteps wiring
+    # being tested is optimizer-agnostic.)
+    tr_big = make_trainer(cfg(4, 1))
+    tr_big.gen_tx = optax.sgd(LR)
+    state_big = tr_big.init(jax.random.PRNGKey(0))
+    params_init = jax.device_get(state_big.params)
+    state_big, _, _ = tr_big.train_step(state_big, src, tgt, key)
+
+    tr_acc = make_trainer(cfg(2, 2))
+    tr_acc.gen_tx = optax.MultiSteps(optax.sgd(LR), 2)
+    state_acc = tr_acc.init(jax.random.PRNGKey(0))
+    state_acc = state_acc.replace(
+        params=jax.tree_util.tree_map(jnp.asarray, params_init))
+    state_acc, _, _ = tr_acc.train_step(state_acc, src[:2], tgt[:2], key)
+    # after the first micro-step the params must NOT have moved yet
+    d0 = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(jnp.asarray(a) - b).max()),
+        params_init, state_acc.params)
+    assert max(jax.tree_util.tree_leaves(d0)) == 0.0
+    state_acc, _, _ = tr_acc.train_step(state_acc, src[2:], tgt[2:], key)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        jax.device_get(state_big.params), jax.device_get(state_acc.params))
+
+
 def test_checkpoint_roundtrip(cnn_trainer, tmp_path, rng):
     from moonsuperresolution_tpu.utils.checkpoint import (
         restore_checkpoint,
