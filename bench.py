@@ -88,10 +88,11 @@ def main():
         except Exception:
             return 0.0
 
+    use_pallas = os.environ.get("BENCH_PALLAS", "1" if not small else "0")
     dsr_cfg = DSRConfig(image_size=image_size, stride=stride,
                         batch_size=batch, tile_size=tile_size,
                         compute_dtype="bfloat16",
-                        use_pallas_patches=not small)
+                        use_pallas_patches=use_pallas == "1")
     engine = DEMSuperResolution(dsr_cfg, model=model_fn, model_params=params)
     geom = engine.geom
 

@@ -153,8 +153,14 @@ class QuantizedSpadeGenerator:
         gamma, beta = gb[..., :f], gb[..., f:]
         axes = (0, 1, 2) if self.stats == "batch" else (1, 2)
         xs = x.astype(jnp.float32)
-        mean = jnp.mean(xs, axis=axes, keepdims=True)
-        var = jnp.var(xs, axis=axes, keepdims=True)
+        # single-pass moments, same as models/layers.py::SPADE
+        n = 1.0
+        for a in axes:
+            n *= xs.shape[a]
+        s1 = jnp.sum(xs, axis=axes, keepdims=True)
+        s2 = jnp.sum(xs * xs, axis=axes, keepdims=True)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
         normalized = (xs - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
         return gamma * normalized.astype(self.dtype) + beta
 
