@@ -20,7 +20,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+# allow running as `python scripts/full_map_benchmark.py` from a checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def synthesize_raster(out_dir: str, h: int, w: int, seed: int = 0):
