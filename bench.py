@@ -92,7 +92,8 @@ def main():
     dsr_cfg = DSRConfig(image_size=image_size, stride=stride,
                         batch_size=batch, tile_size=tile_size,
                         compute_dtype="bfloat16",
-                        use_pallas_patches=use_pallas == "1")
+                        use_pallas_patches=use_pallas == "1",
+                        scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")))
     engine = DEMSuperResolution(dsr_cfg, model=model_fn, model_params=params)
     geom = engine.geom
 

@@ -164,6 +164,9 @@ class DSRConfig:
     quantize: str = "none"
     # Process-pool size for nodata hole filling (0 = one per CPU).
     fill_workers: int = 0
+    # Unroll factor for the chunk scan in the tile program (trades compile
+    # time/code size for cross-chunk overlap).
+    scan_unroll: int = 1
     save_tiles: bool = False  # reference writes per-tile .tifs; we keep in RAM
     # Use the fused Pallas patch-prep kernel (ops/pallas/patches.py) instead
     # of the XLA extract+normalize path: +6% end-to-end at 512/64 on v5e

@@ -22,6 +22,7 @@ The geo-transform uses the GDAL 6-tuple convention
 from __future__ import annotations
 
 import dataclasses
+import os
 import struct
 import zlib
 from typing import BinaryIO, Optional
@@ -154,8 +155,7 @@ def write_geotiff(
 
     comp_id = {"none": 1, "lzw": 5, "deflate": 8}[compress]
 
-    strips = []
-    for s in range(n_strips):
+    def encode_strip(s: int) -> bytes:
         y0 = s * rows_per_strip
         y1 = min(h, y0 + rows_per_strip)
         block = data[y0:y1]  # [rows, W, C]
@@ -170,7 +170,19 @@ def write_geotiff(
             raw = lzw.encode(raw)
         elif comp_id == 8:
             raw = zlib.compress(raw, 6)
-        strips.append(raw)
+        return raw
+
+    # Strips are independent; the native LZW codec releases the GIL (ctypes
+    # call), so a thread pool scales compression across cores — the save
+    # phase of a full 15000x70000 map triple is minutes single-threaded.
+    n_workers = min(os.cpu_count() or 1, n_strips)
+    if n_workers > 1 and comp_id != 1:
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(n_workers) as pool:
+            strips = list(pool.map(encode_strip, range(n_strips)))
+    else:
+        strips = [encode_strip(s) for s in range(n_strips)]
 
     tags = []  # (tag, field_type, count, values|bytes)
     tags.append((T_WIDTH, FT_LONG, 1, [w]))

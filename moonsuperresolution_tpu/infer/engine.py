@@ -247,6 +247,7 @@ class DEMSuperResolution:
 
         use_pallas = self.cfg.use_pallas_patches and s % 8 == 0
         pack_valid = self.cfg.pack_valid
+        scan_unroll = self.cfg.scan_unroll
         mesh = self.mesh if spmd else None
 
         def tile_program(model_params, img_slab, dem_slab, rng):
@@ -346,7 +347,8 @@ class DEMSuperResolution:
                     )
                     return carry, yb
 
-                _, preds = jax.lax.scan(chunk, 0, (x, rngs, chunk_has_work))
+                _, preds = jax.lax.scan(chunk, 0, (x, rngs, chunk_has_work),
+                                        unroll=scan_unroll)
                 preds = preds.reshape(n_chunks * b, i_sz, i_sz)[:n_patches]
                 if pack_valid:
                     # Scatter generations back to grid order.
@@ -601,9 +603,19 @@ class DEMSuperResolution:
                     self.geo_transform, self.projection,
                 )
             else:
-                self.save_gtiff(mean_map, "mean")
-                self.save_gtiff(std_map, "std")
-                self.save_gtiff(good_map.astype(np.uint16), "good")
+                # the three maps are independent; write them concurrently
+                # (strip compression inside write_geotiff is also threaded)
+                import concurrent.futures
+
+                with concurrent.futures.ThreadPoolExecutor(3) as pool:
+                    futs = [
+                        pool.submit(self.save_gtiff, mean_map, "mean"),
+                        pool.submit(self.save_gtiff, std_map, "std"),
+                        pool.submit(self.save_gtiff,
+                                    good_map.astype(np.uint16), "good"),
+                    ]
+                    for f in futs:
+                        f.result()
         t_save = time.time() - t2
 
         n_patches = len(tiles) * self.geom.grid ** 2
