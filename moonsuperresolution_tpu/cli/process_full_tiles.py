@@ -49,6 +49,9 @@ def parse():
                         "to hole neighbourhoods")
     p.add_argument("--fill_workers", type=int, default=0,
                    help="process pool for hole filling (0 = one per CPU)")
+    p.add_argument("--streaming", action="store_true",
+                   help="bounded-memory row-band pipeline for rasters too "
+                        "large for host RAM (dims must divide by 4)")
     p.add_argument("--distributed", action="store_true",
                    help="initialize the JAX multi-host runtime and shard the "
                         "tile list by process automatically (merge with "
@@ -91,9 +94,15 @@ def main():
     model, params = load_model_fn(a.model_path, a.model_kind, a.image_size,
                                   quantize=a.quantize)
     engine = DEMSuperResolution(cfg, model=model, model_params=params)
-    stats = engine.process_map(shard_index=a.shard_index,
-                               num_shards=a.num_shards,
-                               fill_method=a.fill_method)
+    if a.streaming:
+        if a.num_shards != 1:
+            raise SystemExit("--streaming is single-shard (tile rows "
+                             "stream in order); shard with the in-RAM path")
+        stats = engine.process_map_streaming(fill_method=a.fill_method)
+    else:
+        stats = engine.process_map(shard_index=a.shard_index,
+                                   num_shards=a.num_shards,
+                                   fill_method=a.fill_method)
     print(stats)
 
 

@@ -158,19 +158,8 @@ def write_geotiff(
     def encode_strip(s: int) -> bytes:
         y0 = s * rows_per_strip
         y1 = min(h, y0 + rows_per_strip)
-        block = data[y0:y1]  # [rows, W, C]
-        rows = block.reshape(y1 - y0, w * c)
-        if predictor == 2:
-            raw = _predict2_encode(rows).tobytes()
-        elif predictor == 3:
-            raw = _predict3_encode(rows.view(dtype))
-        else:
-            raw = rows.tobytes()
-        if comp_id == 5:
-            raw = lzw.encode(raw)
-        elif comp_id == 8:
-            raw = zlib.compress(raw, 6)
-        return raw
+        rows = data[y0:y1].reshape(y1 - y0, w * c)
+        return _encode_rows(rows, dtype, predictor, comp_id)
 
     # Strips are independent; the native LZW codec releases the GIL (ctypes
     # call), so a thread pool scales compression across cores — the save
@@ -184,6 +173,31 @@ def write_geotiff(
     else:
         strips = [encode_strip(s) for s in range(n_strips)]
 
+    tags = _geo_tags(w, h, c, dtype, comp_id, predictor, rows_per_strip,
+                     geo_transform, projection, nodata)
+
+    with open(path, "wb") as f:
+        _write_tiff(f, tags, strips, bigtiff)
+
+
+def _encode_rows(rows: np.ndarray, dtype, predictor: int,
+                 comp_id: int) -> bytes:
+    """Predictor-encode + compress one strip's rows ([rows, W*C])."""
+    if predictor == 2:
+        raw = _predict2_encode(rows).tobytes()
+    elif predictor == 3:
+        raw = _predict3_encode(rows.view(dtype))
+    else:
+        raw = rows.tobytes()
+    if comp_id == 5:
+        raw = lzw.encode(raw)
+    elif comp_id == 8:
+        raw = zlib.compress(raw, 6)
+    return raw
+
+
+def _geo_tags(w, h, c, dtype, comp_id, predictor, rows_per_strip,
+              geo_transform, projection, nodata):
     tags = []  # (tag, field_type, count, values|bytes)
     tags.append((T_WIDTH, FT_LONG, 1, [w]))
     tags.append((T_HEIGHT, FT_LONG, 1, [h]))
@@ -210,9 +224,162 @@ def write_geotiff(
     if nodata is not None:
         nd = (f"{nodata}").encode() + b"\0"
         tags.append((T_GDAL_NODATA, FT_ASCII, len(nd), nd))
+    return tags
 
-    with open(path, "wb") as f:
-        _write_tiff(f, tags, strips, bigtiff)
+
+class TiffStreamWriter:
+    """Incremental single-band GeoTIFF writer with bounded memory.
+
+    Rows stream in via :meth:`write_rows`; strips are predictor-encoded and
+    compressed (thread pool across ready strips) and written sequentially;
+    the IFD is emitted at close and the header patched to point at it —
+    the resulting file is byte-layout-compatible with ``write_geotiff``'s
+    (strip data first, IFD last).  Built for the streaming inference engine,
+    where output maps are produced one tile-row at a time and must never be
+    resident in full.
+    """
+
+    def __init__(self, path, width, height, dtype,
+                 geo_transform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                 projection: str = "", nodata: Optional[float] = None,
+                 compress: str = "lzw", predictor: Optional[int] = None,
+                 rows_per_strip: Optional[int] = None,
+                 bigtiff: Optional[bool] = None):
+        if (width and geo_transform[2]) or geo_transform[4]:
+            raise ValueError("only north-up geo-transforms are supported")
+        self.w, self.h = width, height
+        self.dtype = np.dtype(dtype)
+        self.comp_id = {"none": 1, "lzw": 5, "deflate": 8}[compress]
+        if predictor is None:
+            predictor = 1 if compress == "none" else (
+                3 if self.dtype.kind == "f" else 2)
+        self.predictor = predictor
+        if rows_per_strip is None:
+            row_bytes = width * self.dtype.itemsize
+            rows_per_strip = max(1, min(height,
+                                        (1 << 20) // max(row_bytes, 1)))
+        self.rps = rows_per_strip
+        raw_size = width * height * self.dtype.itemsize
+        self.bigtiff = raw_size > (3800 << 20) if bigtiff is None else bigtiff
+        self.tags = _geo_tags(width, height, 1, self.dtype, self.comp_id,
+                              predictor, rows_per_strip, geo_transform,
+                              projection, nodata)
+        self.f = open(path, "wb")
+        if self.bigtiff:
+            self.f.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0))
+            self._ifd_offset_pos = 8
+        else:
+            self.f.write(struct.pack("<2sHI", b"II", 42, 0))
+            self._ifd_offset_pos = 4
+        self._offsets: list[int] = []
+        self._counts: list[int] = []
+        self._pending: list[np.ndarray] = []
+        self._pending_rows = 0
+        self._rows_written = 0
+
+    def write_rows(self, rows: np.ndarray) -> None:
+        rows = np.ascontiguousarray(rows, self.dtype)
+        if rows.ndim == 3:
+            assert rows.shape[2] == 1, rows.shape
+            rows = rows[:, :, 0]
+        assert rows.shape[1] == self.w, rows.shape
+        self._pending.append(rows)
+        self._pending_rows += rows.shape[0]
+        self._rows_written += rows.shape[0]
+        assert self._rows_written <= self.h, "wrote past declared height"
+        self._flush(final=self._rows_written == self.h)
+
+    def _flush(self, final: bool) -> None:
+        ready = []
+        while self._pending_rows >= self.rps or (final and
+                                                 self._pending_rows > 0):
+            take = min(self.rps, self._pending_rows)
+            chunks, got = [], 0
+            while got < take:
+                head = self._pending[0]
+                need = take - got
+                if head.shape[0] <= need:
+                    chunks.append(self._pending.pop(0))
+                    got += head.shape[0]
+                else:
+                    chunks.append(head[:need])
+                    self._pending[0] = head[need:]
+                    got += need
+            self._pending_rows -= take
+            ready.append(np.concatenate(chunks, axis=0)
+                         if len(chunks) > 1 else chunks[0])
+        if not ready:
+            return
+        if len(ready) > 1 and self.comp_id != 1:
+            import concurrent.futures
+
+            with concurrent.futures.ThreadPoolExecutor(
+                min(os.cpu_count() or 1, len(ready))
+            ) as pool:
+                blobs = list(pool.map(
+                    lambda r: _encode_rows(r, self.dtype, self.predictor,
+                                           self.comp_id), ready))
+        else:
+            blobs = [_encode_rows(r, self.dtype, self.predictor, self.comp_id)
+                     for r in ready]
+        for blob in blobs:
+            pos = self.f.tell()
+            if pos % 2:
+                self.f.write(b"\0")
+                pos += 1
+            self._offsets.append(pos)
+            self._counts.append(len(blob))
+            self.f.write(blob)
+
+    def close(self) -> None:
+        if self._rows_written != self.h:
+            raise ValueError(
+                f"wrote {self._rows_written} rows, declared {self.h}")
+        off_ft = FT_LONG8 if self.bigtiff else FT_LONG
+        tags = list(self.tags)
+        tags.append((T_STRIPOFFSETS, off_ft, len(self._offsets),
+                     self._offsets))
+        tags.append((T_STRIPBYTECOUNTS, off_ft, len(self._counts),
+                     self._counts))
+        tags.sort(key=lambda t: t[0])
+        inline_size = 8 if self.bigtiff else 4
+        payload = {}
+        for i, (tag, ft, count, values) in enumerate(tags):
+            raw = _pack_values(ft, values)
+            if len(raw) > inline_size:
+                pos = self.f.tell()
+                if pos % 2:
+                    self.f.write(b"\0")
+                    pos += 1
+                self.f.write(raw)
+                payload[i] = pos
+        ifd_pos = self.f.tell()
+        if ifd_pos % 2:
+            self.f.write(b"\0")
+            ifd_pos += 1
+        if self.bigtiff:
+            self.f.write(struct.pack("<Q", len(tags)))
+        else:
+            self.f.write(struct.pack("<H", len(tags)))
+        for i, (tag, ft, count, values) in enumerate(tags):
+            self.f.write(struct.pack("<HH", tag, ft))
+            self.f.write(struct.pack("<Q" if self.bigtiff else "<I", count))
+            if i in payload:
+                self.f.write(struct.pack("<Q" if self.bigtiff else "<I",
+                                         payload[i]))
+            else:
+                raw = _pack_values(ft, values)
+                self.f.write(raw.ljust(inline_size, b"\0"))
+        self.f.write(struct.pack("<Q" if self.bigtiff else "<I", 0))
+        self.f.seek(self._ifd_offset_pos)
+        self.f.write(struct.pack("<Q" if self.bigtiff else "<I", ifd_pos))
+        self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
 
 
 def _pack_values(ft: int, values, endian="<") -> bytes:

@@ -245,7 +245,10 @@ class DEMSuperResolution:
         compute_dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" \
             else jnp.float32
 
-        use_pallas = self.cfg.use_pallas_patches and s % 8 == 0
+        # Compiled Pallas is TPU-only; CPU (tests, dev) silently takes the
+        # equivalent XLA path (bit-exact, test_pallas pins that).
+        use_pallas = (self.cfg.use_pallas_patches and s % 8 == 0
+                      and jax.default_backend() == "tpu")
         pack_valid = self.cfg.pack_valid
         scan_unroll = self.cfg.scan_unroll
         mesh = self.mesh if spmd else None
@@ -463,12 +466,17 @@ class DEMSuperResolution:
         return jax.random.fold_in(jax.random.fold_in(base, px), py)
 
     def run_tiles_serial(self, tiles, commit, progress: bool = False,
-                         profile_dir: Optional[str] = None) -> None:
+                         profile_dir: Optional[str] = None,
+                         slab_provider=None) -> None:
         """Single-device tile loop with threaded slab staging: while the
         device processes tile i, a worker thread slices and uploads tile
         i+1's slabs (device_put through remote-attached runtimes blocks the
         calling thread, so it runs off the main loop).  ``commit(px, py,
-        out)`` is called one tile behind the in-flight one."""
+        out)`` is called one tile behind the in-flight one.
+
+        ``slab_provider(px, py) -> (img_slab, dem_slab)`` overrides the
+        default full-raster slicing — the streaming engine supplies slabs
+        from row bands instead of resident padded rasters."""
         import concurrent.futures
 
         if self._tile_fn is None:
@@ -480,11 +488,12 @@ class DEMSuperResolution:
         g = self.geom
 
         def stage(px, py):
-            img = jnp.asarray(
-                self.img_padded[py : py + g.slab, px : px + g.slab])
-            dem = jnp.asarray(
-                self.dem_padded[py : py + g.slab, px : px + g.slab])
-            return img, dem
+            if slab_provider is not None:
+                img, dem = slab_provider(px, py)
+            else:
+                img = self.img_padded[py : py + g.slab, px : px + g.slab]
+                dem = self.dem_padded[py : py + g.slab, px : px + g.slab]
+            return jnp.asarray(img), jnp.asarray(dem)
 
         pending = None
         commit_fut = None
@@ -629,6 +638,18 @@ class DEMSuperResolution:
         }
         self.result = {"mean": mean_map, "std": std_map, "good": good_map}
         return stats
+
+    def process_map_streaming(self, progress: bool = True,
+                              fill_method: str = "fast") -> dict:
+        """Bounded-memory pipeline for rasters too large to hold in host
+        RAM: row-band reads, windowed nodata fill, banded /16 LR synthesis,
+        and strip-streamed GeoTIFF output (infer/streaming.py)."""
+        from moonsuperresolution_tpu.infer.streaming import (
+            process_map_streaming,
+        )
+
+        return process_map_streaming(self, progress=progress,
+                                     fill_method=fill_method)
 
     def _commit_tile(self, pending, mean_map, std_map, good_map):
         px, py, (mean_t, std_t, good_t) = pending

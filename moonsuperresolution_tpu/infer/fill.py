@@ -95,6 +95,61 @@ def interpolate_missing_values(
     return data
 
 
+def fill_nodata_window(
+    read_rows,
+    shape: tuple,
+    a: int,
+    b: int,
+    no_value: float,
+    tile_size: int = 1024,
+    border: int = 128,
+    max_fill_area: int = 256,
+    method: str = "fast",
+    workers: int = 1,
+) -> np.ndarray:
+    """Rows [a, b) of ``fill_nodata`` applied to a raster streamed via
+    ``read_rows(y0, y1) -> [y1-y0, W]`` — bit-exact with the in-RAM sweep.
+
+    The full-raster sweep fills each bordered tile purely from the
+    *original* rows, so any band of output rows depends only on the raw
+    rows of the fill tiles whose written interiors intersect it.  Rows
+    outside every tile interior (the global top/bottom ``border`` rows)
+    pass through unchanged, exactly like ``fill_nodata``.
+    """
+    H, W = shape
+    stride = tile_size - border * 2
+    tile_ys = [
+        y for y in range(0, H, stride)
+        if y + border < b and min(y + tile_size - border, H - border) > a
+    ]
+    ra = min(min(tile_ys), a) if tile_ys else a
+    rb = max(max(y + tile_size for y in tile_ys), b) if tile_ys else b
+    rb = min(rb, H)
+    raw = np.asarray(read_rows(ra, rb))
+    out = raw[a - ra : b - ra].copy()
+
+    for y in tile_ys:
+        ymax = min(y + tile_size - border, H - border)
+        for x in range(0, W, stride):
+            xmax = min(x + tile_size - border, W - border)
+            tile = raw[y - ra : y - ra + tile_size, x : x + tile_size]
+            if not (tile <= no_value).any():
+                continue
+            filled = interpolate_missing_values(
+                tile.copy(), no_value, max_fill_area=max_fill_area,
+                method=method,
+            )
+            # interior rows of this tile, clipped to the requested band
+            w0, w1 = max(y + border, a), min(ymax, b)
+            if w0 >= w1:
+                continue
+            out[w0 - a : w1 - a, x + border : xmax] = filled[
+                w0 - y : w1 - y,
+                border : border + max(0, xmax - x - border),
+            ]
+    return out
+
+
 def _fill_one(args):
     tile, no_value, max_fill_area, method = args
     return interpolate_missing_values(

@@ -153,8 +153,8 @@ def extract_normalize_patches(
         num_scalar_prefetch=2,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, 2, size, size), lambda i, *_: (i, 0, 0, 0),

@@ -81,6 +81,52 @@ def _resample_matrix(
     return mat.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def cubic_taps(in_size: int, out_size: int, a: float = -0.75):
+    """Per-output-pixel cubic taps: (idx[out,4], w[out,4]) int32/float32.
+
+    Same construction as ``_resample_matrix`` (half-pixel centers, clamped
+    borders, row-normalized) but keeps the 4 in-support taps explicit —
+    including zero-weight ones, so IEEE ``0*nan`` propagates NaN exactly
+    like cv2's in-support accumulation.  Used by the streaming engine to
+    resample arbitrary row bands without building the dense matrix.
+    """
+    scale = in_size / out_size
+    src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    base = np.floor(src).astype(np.int64)
+    taps = np.arange(-1, 3)
+    idx = base[:, None] + taps[None, :]
+    w = _cubic_kernel(src[:, None] - idx, -0.75 if a is None else a)
+    idx = np.clip(idx, 0, in_size - 1)
+    w = w / w.sum(axis=1, keepdims=True)
+    return idx.astype(np.int32), w.astype(np.float32)
+
+
+def resample_rows_banded(
+    src: np.ndarray, out_size: int, a0: int, a1: int, a: float = -0.75
+) -> np.ndarray:
+    """Rows [a0, a1) of a full cubic row-resample ``in_h -> out_size`` of
+    ``src`` ([in_h, W]), NaN-propagating, float32 accumulation (cv2-like)."""
+    idx, w = cubic_taps(src.shape[0], out_size, a)
+    idx, w = idx[a0:a1], w[a0:a1]
+    out = np.zeros((a1 - a0, src.shape[1]), np.float32)
+    for t in range(idx.shape[1]):
+        out += w[:, t : t + 1] * src[idx[:, t]]
+    return out
+
+
+def resample_cols_banded(
+    src: np.ndarray, out_size: int, a: float = -0.75
+) -> np.ndarray:
+    """Full cubic column-resample of a row band ([H, in_w] -> [H, out_size]),
+    NaN-propagating, float32 accumulation."""
+    idx, w = cubic_taps(src.shape[1], out_size, a)
+    out = np.zeros((src.shape[0], out_size), np.float32)
+    for t in range(idx.shape[1]):
+        out += src[:, idx[:, t]] * w[None, :, t]
+    return out
+
+
 def _apply_separable(x: jnp.ndarray, wr: np.ndarray, wc: np.ndarray) -> jnp.ndarray:
     """Apply row/col resample matrices on the (-3, -2) axes of an NHWC-style
     array (``[..., H, W, C]``).  Two matmuls -> MXU."""

@@ -160,6 +160,62 @@ class TestIdentityEngine:
             single.result["good"].astype(np.uint16))
 
 
+class TestStreamingEngine:
+    """Streaming row-band pipeline vs the in-RAM engine: same tiles, same
+    PRNG keys, windowed fill bit-exact; the only numeric difference is the
+    banded cubic /16 upsample (explicit taps vs cv2)."""
+
+    def _run_both(self, tmp_path, rng, holes):
+        td = str(tmp_path)
+        # raster dims divisible by 4 for the streaming area downscale
+        dem, _ = _synthetic_pair(td, rng, h=296, w=420, holes=holes)
+        out_ram = os.path.join(td, "ram")
+        out_st = os.path.join(td, "st")
+
+        def mk(save_path):
+            return DSRConfig(image_size=64, stride=8, batch_size=32,
+                             tile_size=128, source_folder_path=td,
+                             map_name="toy", save_path=save_path)
+
+        ram = DEMSuperResolution(mk(out_ram), model=None)
+        ram.process_map(progress=False)
+        st = DEMSuperResolution(mk(out_st), model=None)
+        stats = st.process_map_streaming(progress=False)
+        assert stats["tiles"] == len(ram.generate_tile_list())
+        maps = {}
+        for k in ("mean", "std", "good"):
+            a = read_geotiff(os.path.join(out_ram, f"toy_{k}.tiff"))
+            b = read_geotiff(os.path.join(out_st, f"toy_{k}.tiff"))
+            assert a.geo_transform == b.geo_transform
+            assert a.projection == b.projection
+            maps[k] = (a.data.squeeze(), b.data.squeeze())
+        return maps
+
+    def test_matches_in_ram_clean_raster(self, tmp_path, rng):
+        maps = self._run_both(tmp_path, rng, holes=False)
+        good_a, good_b = maps["good"]
+        np.testing.assert_array_equal(good_a > 0, good_b > 0)
+        mean_a, mean_b = maps["mean"]
+        cov = good_a > 0
+        assert cov.mean() > 0.5
+        # identity model output = denormalized LR-DEM channel; the banded
+        # cubic differs from cv2 by float accumulation only
+        np.testing.assert_allclose(mean_a[cov], mean_b[cov], atol=0.02)
+        np.testing.assert_allclose(maps["std"][0][cov], maps["std"][1][cov],
+                                   atol=0.02)
+
+    def test_matches_in_ram_with_holes(self, tmp_path, rng):
+        maps = self._run_both(tmp_path, rng, holes=True)
+        good_a, good_b = maps["good"]
+        # NaN spread through the banded resample can differ by a pixel at
+        # hole boundaries; coverage must agree almost everywhere
+        agree = (good_a > 0) == (good_b > 0)
+        assert agree.mean() > 0.995, agree.mean()
+        both = (good_a > 0) & (good_b > 0)
+        np.testing.assert_allclose(maps["mean"][0][both],
+                                   maps["mean"][1][both], atol=0.05)
+
+
 class TestValidPacking:
     """The engine must reproduce the reference's batch composition: only
     valid patches are packed (densely, grid order) into generator batches and
