@@ -51,6 +51,26 @@ class InstanceNorm(nn.Module):
         return (x_hat * gamma + beta).astype(self.dtype)
 
 
+def spade_moments(xs: jnp.ndarray, stats: str = "batch"):
+    """SPADE normalization moments of ``xs`` (already in stats dtype).
+
+    Single-pass: sum and sum-of-squares fuse into ONE read of the
+    activation tensor (multi-output reduction) instead of jnp.mean ->
+    jnp.var's two sequential passes — the SPADE stack is HBM-bound.  f32
+    E[x^2]-E[x]^2 cancellation stays well inside the 1e-3 Keras-parity
+    tolerance for conv activations.
+    """
+    axes = (0, 1, 2) if stats == "batch" else (1, 2)
+    n = 1.0
+    for a in axes:
+        n *= xs.shape[a]
+    s1 = jnp.sum(xs, axis=axes, keepdims=True)
+    s2 = jnp.sum(xs * xs, axis=axes, keepdims=True)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    return mean, var
+
+
 class _ConvParams(nn.Module):
     """Declares a conv's kernel/bias params (same tree layout as nn.Conv)
     without issuing the conv — lets SPADE fuse gamma+beta into one conv while
@@ -93,7 +113,8 @@ class SPADE(nn.Module):
     stats_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 moments=None, normalized=None) -> jnp.ndarray:
         mask = resize_nearest(mask, (x.shape[1], x.shape[2]))
         h = nn.Conv(self.hidden, (3, 3), padding="SAME", kernel_init=glorot_uniform,
                     dtype=self.dtype, name="conv")(mask.astype(self.dtype))
@@ -115,22 +136,20 @@ class SPADE(nn.Module):
         gb = jax.lax.conv_general_dilated(
             h, k_gb, (1, 1), "SAME", dimension_numbers=dn) + b_gb
         gamma, beta = gb[..., : self.filters], gb[..., self.filters :]
-        axes = (0, 1, 2) if self.stats == "batch" else (1, 2)
-        xs = x.astype(self.stats_dtype)
-        # Single-pass moments: sum and sum-of-squares fuse into ONE read of
-        # the activation tensor (multi-output reduction) instead of
-        # jnp.mean->jnp.var's two sequential passes — the SPADE stack is
-        # HBM-bound, and 14 SPADEs each save a full tensor read.  f32
-        # E[x^2]-E[x]^2 cancellation stays well inside the 1e-3 Keras-parity
-        # tolerance for conv activations.
-        n = 1.0
-        for a in axes:
-            n *= xs.shape[a]
-        s1 = jnp.sum(xs, axis=axes, keepdims=True)
-        s2 = jnp.sum(xs * xs, axis=axes, keepdims=True)
-        mean = s1 / n
-        var = jnp.maximum(s2 / n - mean * mean, 0.0)
-        normalized = (xs - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        if normalized is None:
+            # ``moments``/``normalized`` overrides: a 2x-nearest upsample
+            # duplicates every element 4x, so both the moments and the
+            # normalized tensor of the upsampled input equal the upsampled
+            # pre-normalization results — the generator computes them at
+            # quarter traffic and shares them across spade_1/spade_3
+            # (trace: stat reductions alone were 18% of tile time).
+            xs = x.astype(self.stats_dtype)
+            if moments is None:
+                mean, var = spade_moments(xs, self.stats)
+            else:
+                mean, var = moments
+            normalized = (xs - mean) * jnp.reciprocal(
+                jnp.sqrt(var + self.epsilon))
         return gamma * normalized.astype(self.dtype) + beta
 
 
@@ -148,11 +167,20 @@ class SpadeResidualBlock(nn.Module):
     stats_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 input_normalized=None) -> jnp.ndarray:
         in_filters = x.shape[-1]
+        # spade_1 and spade_3 both normalize the block INPUT, so they share
+        # one normalized tensor (computed once — pre-upsample by the
+        # generator, which is bitwise identical and 4x cheaper).
+        if input_normalized is None:
+            xs = x.astype(self.stats_dtype)
+            mean, var = spade_moments(xs, self.stats)
+            input_normalized = (xs - mean) * jnp.reciprocal(
+                jnp.sqrt(var + 1e-5))
         h = SPADE(in_filters, stats=self.stats, dtype=self.dtype,
                   stats_dtype=self.stats_dtype,
-                  name="spade_1")(x, mask)
+                  name="spade_1")(x, mask, normalized=input_normalized)
         h = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=glorot_uniform, name="conv_1")(leaky_relu(h, self.alpha))
         h = SPADE(self.filters, stats=self.stats, dtype=self.dtype,
@@ -163,7 +191,7 @@ class SpadeResidualBlock(nn.Module):
         if self.filters != in_filters:
             skip = SPADE(in_filters, stats=self.stats, dtype=self.dtype,
                          stats_dtype=self.stats_dtype,
-                         name="spade_3")(x, mask)
+                         name="spade_3")(x, mask, normalized=input_normalized)
             skip = nn.Conv(self.filters, (3, 3), padding="SAME",
                            kernel_init=glorot_uniform, dtype=self.dtype,
                            name="conv_3")(leaky_relu(skip, self.alpha))

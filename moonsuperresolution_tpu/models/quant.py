@@ -142,7 +142,7 @@ class QuantizedSpadeGenerator:
 
     # -------------------------------------------------------------- forward
 
-    def _spade(self, qs, x, mask):
+    def _spade(self, qs, x, mask, normalized=None):
         mask = resize_nearest(mask, (x.shape[1], x.shape[2]))
         h = _conv_bf16(mask.astype(self.dtype), qs["conv"]["kernel"],
                        qs["conv"]["bias"])
@@ -151,29 +151,26 @@ class QuantizedSpadeGenerator:
                     qs["gb"]["bias"], out_dtype=self.dtype)
         f = gb.shape[-1] // 2
         gamma, beta = gb[..., :f], gb[..., f:]
-        axes = (0, 1, 2) if self.stats == "batch" else (1, 2)
-        xs = x.astype(jnp.float32)
-        # single-pass moments, same as models/layers.py::SPADE
-        n = 1.0
-        for a in axes:
-            n *= xs.shape[a]
-        s1 = jnp.sum(xs, axis=axes, keepdims=True)
-        s2 = jnp.sum(xs * xs, axis=axes, keepdims=True)
-        mean = s1 / n
-        var = jnp.maximum(s2 / n - mean * mean, 0.0)
-        normalized = (xs - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        if normalized is None:
+            from moonsuperresolution_tpu.models.layers import spade_moments
+
+            xs = x.astype(jnp.float32)
+            mean, var = spade_moments(xs, self.stats)
+            normalized = (xs - mean) * jnp.reciprocal(
+                jnp.sqrt(var + self.epsilon))
         return gamma * normalized.astype(self.dtype) + beta
 
-    def _resblock(self, qb, x, mask):
+    def _resblock(self, qb, x, mask, input_normalized=None):
         lrelu = lambda v: jax.nn.leaky_relu(v, self.alpha)
-        h = self._spade(qb["spade_1"], x, mask)
+        h = self._spade(qb["spade_1"], x, mask, normalized=input_normalized)
         h = _qconv(lrelu(h), qb["conv_1"]["kernel"], qb["conv_1"]["scale"],
                    qb["conv_1"]["bias"], out_dtype=self.dtype)
         h = self._spade(qb["spade_2"], h, mask)
         h = _qconv(lrelu(h), qb["conv_2"]["kernel"], qb["conv_2"]["scale"],
                    qb["conv_2"]["bias"], out_dtype=self.dtype)
         if "conv_3" in qb:
-            skip = self._spade(qb["spade_3"], x, mask)
+            skip = self._spade(qb["spade_3"], x, mask,
+                               normalized=input_normalized)
             skip = _qconv(lrelu(skip), qb["conv_3"]["kernel"],
                           qb["conv_3"]["scale"], qb["conv_3"]["bias"],
                           out_dtype=self.dtype)
@@ -189,10 +186,19 @@ class QuantizedSpadeGenerator:
              + jnp.asarray(qparams["dense"]["bias"], self.dtype))
         x = x.reshape(-1, sw, sw, 1024)
         source = source.astype(self.dtype)
+        from moonsuperresolution_tpu.models.layers import spade_moments
         from moonsuperresolution_tpu.models.networks import upsample2x_nearest
 
+        x_hat_up = None
         for i in range(len(self.channel_plan)):
-            x = self._resblock(qparams[f"resblock_{i}"], x, source)
+            x = self._resblock(qparams[f"resblock_{i}"], x, source,
+                               input_normalized=x_hat_up)
+            # pre-upsample moments + normalization, same trick as
+            # models/networks.py::SpadeGenerator (bitwise identical)
+            xs = x.astype(jnp.float32)
+            mean, var = spade_moments(xs, self.stats)
+            x_hat = (xs - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+            x_hat_up = upsample2x_nearest(x_hat)
             x = upsample2x_nearest(x)
         x = jax.nn.leaky_relu(x, 0.2)
         x = _conv_bf16(x, qparams["head"]["kernel"], qparams["head"]["bias"])
