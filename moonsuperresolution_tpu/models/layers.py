@@ -60,12 +60,30 @@ def spade_moments(xs: jnp.ndarray, stats: str = "batch"):
     E[x^2]-E[x]^2 cancellation stays well inside the 1e-3 Keras-parity
     tolerance for conv activations.
     """
+    import os
+
     axes = (0, 1, 2) if stats == "batch" else (1, 2)
     n = 1.0
     for a in axes:
         n *= xs.shape[a]
-    s1 = jnp.sum(xs, axis=axes, keepdims=True)
-    s2 = jnp.sum(xs * xs, axis=axes, keepdims=True)
+    if stats == "batch" and xs.ndim == 4 and os.environ.get(
+            "MOONSR_DOT_MOMENTS", "1") == "1":
+        # Reduce via ones-matmul: the MXU streams the tensor at memory
+        # speed where the in-graph VPU reduce ran ~3x below it (trace);
+        # +3 patches/s end-to-end.  MOONSR_DOT_MOMENTS=0 restores the
+        # plain reduce.
+        x2 = xs.reshape(-1, xs.shape[-1])
+        ones = jnp.ones((1, x2.shape[0]), xs.dtype)
+        dn = (((1,), (0,)), ((), ()))
+        s1 = jax.lax.dot_general(ones, x2, dn,
+                                 preferred_element_type=jnp.float32)
+        s2 = jax.lax.dot_general(ones, x2 * x2, dn,
+                                 preferred_element_type=jnp.float32)
+        s1 = s1.reshape(1, 1, 1, -1)
+        s2 = s2.reshape(1, 1, 1, -1)
+    else:
+        s1 = jnp.sum(xs, axis=axes, keepdims=True)
+        s2 = jnp.sum(xs * xs, axis=axes, keepdims=True)
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     return mean, var
