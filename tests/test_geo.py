@@ -199,3 +199,36 @@ def test_big_endian_read(tmp_path):
         f.write(payload)
     with TiffReader(p) as r:
         np.testing.assert_array_equal(r.read(), data)
+
+
+def test_stream_writer_matches_batch_writer(tmp_path, rng):
+    """TiffStreamWriter (incremental strips, IFD at close) must produce a
+    file that reads back identically to write_geotiff's, across dtypes,
+    ragged write sizes, and geo metadata."""
+    from moonsuperresolution_tpu.geo.tiff import TiffStreamWriter, write_geotiff
+
+    GT = (30.5, 2.0, 0.0, -10.25, 0.0, -2.0)
+    for dtype, h, w in [(np.float32, 333, 217), (np.uint16, 97, 512)]:
+        data = (rng.standard_normal((h, w)) * 100).astype(dtype)
+        a_path = str(tmp_path / f"a_{np.dtype(dtype).name}.tif")
+        b_path = str(tmp_path / f"b_{np.dtype(dtype).name}.tif")
+        write_geotiff(a_path, data, GT, "P", -1.0)
+        with TiffStreamWriter(b_path, w, h, dtype, GT, "P", -1.0) as sw:
+            i = 0
+            for step in (1, 7, 50, 100):
+                sw.write_rows(data[i : i + step])
+                i += step
+            while i < h:
+                sw.write_rows(data[i : i + 64])
+                i += min(64, h - i)
+        with TiffReader(a_path) as ra, TiffReader(b_path) as rb:
+            np.testing.assert_array_equal(ra.read(), rb.read())
+            assert ra.geo_transform == rb.geo_transform
+            assert ra.projection == rb.projection
+            assert ra.nodata == rb.nodata
+
+    # short write is an error at close
+    sw = TiffStreamWriter(str(tmp_path / "short.tif"), 8, 10, np.float32)
+    sw.write_rows(np.zeros((4, 8), np.float32))
+    with pytest.raises(ValueError, match="declared"):
+        sw.close()
