@@ -57,17 +57,26 @@ def main():
     params = trainer.init(jax.random.PRNGKey(0)).params
     params = {"generator": params["generator"], "encoder": params["encoder"]}
 
-    if quant == "int8":
+    if quant in ("int8", "int8_static"):
+        from moonsuperresolution_tpu.models.networks import sample_latent
         from moonsuperresolution_tpu.models.quant import QuantizedSpadeGenerator
 
         qgen = QuantizedSpadeGenerator(image_size=image_size)
-        params = dict(params, generator=qgen.quantize(params["generator"]))
+        qg = qgen.quantize(params["generator"])
+        if quant == "int8_static":
+            rng_c = np.random.default_rng(0)
+            for it in range(2):
+                src = jnp.asarray(rng_c.uniform(
+                    -0.5, 0.5, (8, image_size, image_size, 2)), jnp.float32)
+                mean, logvar = trainer.encoder.apply(
+                    {"params": params["encoder"]}, src)
+                z = sample_latent(jax.random.PRNGKey(it), mean, logvar)
+                qg = qgen.calibrate(qg, z, src)
+        params = dict(params, generator=qg)
 
         def model_fn(p, source, rng):
             mean, logvar = trainer.encoder.apply(
                 {"params": p["encoder"]}, source)
-            from moonsuperresolution_tpu.models.networks import sample_latent
-
             z = sample_latent(rng, mean, logvar)
             return qgen.apply(p["generator"], z, source)[..., 0]
     else:
@@ -125,7 +134,7 @@ def main():
     patches = n_tiles * geom.grid**2
     pps = patches / dt
     gflops = flops_per_patch() / 1e9
-    peak = V5E_INT8_PEAK if quant == "int8" else V5E_BF16_PEAK
+    peak = V5E_INT8_PEAK if quant.startswith("int8") else V5E_BF16_PEAK
     mfu = pps * gflops * 1e9 / peak if gflops else 0.0
     result = {
         "metric": f"sr_patches_per_sec_{image_size}",
@@ -134,7 +143,7 @@ def main():
         "vs_baseline": round(pps / BASELINE_PATCHES_PER_SEC, 2),
         "model_gflops_per_patch": round(gflops, 1),
         "mfu": round(mfu, 4),
-        "mfu_peak": "int8_394T" if quant == "int8" else "bf16_197T",
+        "mfu_peak": "int8_394T" if quant.startswith("int8") else "bf16_197T",
         "quantize": quant,
     }
     print(json.dumps(result))

@@ -39,9 +39,10 @@ def parse():
     p.add_argument("--num_shards", type=int, default=1)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--quantize", type=str, default="none",
-                   choices=["none", "int8"],
+                   choices=["none", "int8", "int8_static"],
                    help="int8: dynamically-quantized generator (faster, "
-                        "small output deviation)")
+                        "small output deviation); int8_static additionally "
+                        "calibrates per-conv activation scales (fastest)")
     p.add_argument("--fill_method", type=str, default="fast",
                    choices=["fast", "reference"],
                    help="nodata interpolation: 'reference' is the exact "

@@ -81,17 +81,35 @@ def load_model_fn(
     trainer = GauGANTrainer(cfg)
     params = restore_params(model_path)
 
-    if quantize == "int8":
+    if quantize in ("int8", "int8_static"):
         # Opt-in int8 speed mode: the generator convs run s8xs8->s32 on the
         # MXU at 2x the bf16 rate; encoder + SPADE stats stay bf16/f32
         # (models/quant.py).  Outputs deviate slightly from the bf16 path —
-        # see tests/test_quant.py for the measured bound.
+        # see tests/test_quant.py for the measured bound.  "int8_static"
+        # additionally calibrates per-conv activation scales on synthetic
+        # normalized patches, removing the per-tensor max reductions from
+        # the compiled program.
+        import numpy as _np
+
         from moonsuperresolution_tpu.models.quant import (
             QuantizedSpadeGenerator,
         )
 
         qgen = QuantizedSpadeGenerator(image_size=image_size)
-        params = dict(params, generator=qgen.quantize(params["generator"]))
+        qg = qgen.quantize(params["generator"])
+        if quantize == "int8_static":
+            import jax as _jax
+
+            rng_c = _np.random.default_rng(0)
+            for it in range(2):
+                src = rng_c.uniform(
+                    -0.5, 0.5, (8, image_size, image_size, 2)
+                ).astype(_np.float32)
+                mean, logvar = trainer.encoder.apply(
+                    {"params": params["encoder"]}, jnp.asarray(src))
+                z = trainer._latent(_jax.random.PRNGKey(it), mean, logvar)
+                qg = qgen.calibrate(qg, z, jnp.asarray(src))
+        params = dict(params, generator=qg)
 
         def fn(params, source, rng):
             mean, logvar = trainer.encoder.apply(

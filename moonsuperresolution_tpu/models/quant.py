@@ -52,9 +52,19 @@ def _quant_act_per_tensor(x: jnp.ndarray):
 
 
 def _qconv(x: jnp.ndarray, qk: jnp.ndarray, w_scale: jnp.ndarray,
-           bias: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """int8 dynamic-quant conv: quantize x, s8xs8->s32 conv, dequantize."""
-    xq, s_x = _quant_act_per_tensor(x)
+           bias: jnp.ndarray, out_dtype=jnp.bfloat16,
+           s_x=None, record=None, site: str = "") -> jnp.ndarray:
+    """int8 conv: quantize x (dynamic, or with the calibrated static scale
+    ``s_x`` — which removes the per-tensor max reduction), s8xs8->s32 conv,
+    dequantize."""
+    if s_x is None:
+        xq, s_x = _quant_act_per_tensor(x)
+        if record is not None:
+            prev = record.get(site, 0.0)
+            record[site] = max(prev, float(s_x))
+    else:
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                      -127, 127).astype(jnp.int8)
     dn = jax.lax.conv_dimension_numbers(xq.shape, qk.shape,
                                         ("NHWC", "HWIO", "NHWC"))
     acc = jax.lax.conv_general_dilated(
@@ -142,13 +152,16 @@ class QuantizedSpadeGenerator:
 
     # -------------------------------------------------------------- forward
 
-    def _spade(self, qs, x, mask, normalized=None):
+    def _spade(self, qs, x, mask, normalized=None, scales=None,
+               record=None, site: str = ""):
         mask = resize_nearest(mask, (x.shape[1], x.shape[2]))
         h = _conv_bf16(mask.astype(self.dtype), qs["conv"]["kernel"],
                        qs["conv"]["bias"])
         h = jax.nn.relu(h)
         gb = _qconv(h, qs["gb"]["kernel"], qs["gb"]["scale"],
-                    qs["gb"]["bias"], out_dtype=self.dtype)
+                    qs["gb"]["bias"], out_dtype=self.dtype,
+                    s_x=None if scales is None else scales[site],
+                    record=record, site=site)
         f = gb.shape[-1] // 2
         gamma, beta = gb[..., :f], gb[..., f:]
         if normalized is None:
@@ -160,26 +173,59 @@ class QuantizedSpadeGenerator:
                 jnp.sqrt(var + self.epsilon))
         return gamma * normalized.astype(self.dtype) + beta
 
-    def _resblock(self, qb, x, mask, input_normalized=None):
+    def _resblock(self, qb, x, mask, input_normalized=None, scales=None,
+                  record=None, prefix: str = ""):
         lrelu = lambda v: jax.nn.leaky_relu(v, self.alpha)
-        h = self._spade(qb["spade_1"], x, mask, normalized=input_normalized)
+
+        def s(site):
+            return None if scales is None else scales[site]
+
+        h = self._spade(qb["spade_1"], x, mask, normalized=input_normalized,
+                        scales=scales, record=record,
+                        site=f"{prefix}.spade_1")
         h = _qconv(lrelu(h), qb["conv_1"]["kernel"], qb["conv_1"]["scale"],
-                   qb["conv_1"]["bias"], out_dtype=self.dtype)
-        h = self._spade(qb["spade_2"], h, mask)
+                   qb["conv_1"]["bias"], out_dtype=self.dtype,
+                   s_x=s(f"{prefix}.conv_1"), record=record,
+                   site=f"{prefix}.conv_1")
+        h = self._spade(qb["spade_2"], h, mask, scales=scales, record=record,
+                        site=f"{prefix}.spade_2")
         h = _qconv(lrelu(h), qb["conv_2"]["kernel"], qb["conv_2"]["scale"],
-                   qb["conv_2"]["bias"], out_dtype=self.dtype)
+                   qb["conv_2"]["bias"], out_dtype=self.dtype,
+                   s_x=s(f"{prefix}.conv_2"), record=record,
+                   site=f"{prefix}.conv_2")
         if "conv_3" in qb:
             skip = self._spade(qb["spade_3"], x, mask,
-                               normalized=input_normalized)
+                               normalized=input_normalized, scales=scales,
+                               record=record, site=f"{prefix}.spade_3")
             skip = _qconv(lrelu(skip), qb["conv_3"]["kernel"],
                           qb["conv_3"]["scale"], qb["conv_3"]["bias"],
-                          out_dtype=self.dtype)
+                          out_dtype=self.dtype,
+                          s_x=s(f"{prefix}.conv_3"), record=record,
+                          site=f"{prefix}.conv_3")
         else:
             skip = x
         return skip + h
 
+    def calibrate(self, qparams, latent: jnp.ndarray, source: jnp.ndarray,
+                  margin: float = 1.05) -> dict:
+        """One (or more, via repeated calls on the returned tree) eager
+        forward recording each conv input's dynamic scale; returns qparams
+        with ``act_scales`` added.  With static scales the per-conv max
+        reduction disappears from the compiled program (the clip handles
+        rare saturation).  Calibration inputs should span the expected
+        range — engine inputs are per-patch min-max normalized to
+        [-0.5, 0.5], so ranges are stable across real data."""
+        record = dict(qparams.get("act_scales", {}))
+        for k in record:
+            record[k] = float(record[k]) / margin  # un-margin previous
+        self.apply({k: v for k, v in qparams.items() if k != "act_scales"},
+                   latent, source, _record=record)
+        return dict(qparams,
+                    act_scales={k: jnp.float32(v * margin)
+                                for k, v in record.items()})
+
     def apply(self, qparams, latent: jnp.ndarray,
-              source: jnp.ndarray) -> jnp.ndarray:
+              source: jnp.ndarray, _record=None) -> jnp.ndarray:
         sw = self.image_size // 2**6
         x = (latent.astype(self.dtype)
              @ jnp.asarray(qparams["dense"]["kernel"], self.dtype)
@@ -189,10 +235,12 @@ class QuantizedSpadeGenerator:
         from moonsuperresolution_tpu.models.layers import spade_moments
         from moonsuperresolution_tpu.models.networks import upsample2x_nearest
 
+        scales = qparams.get("act_scales")
         x_hat_up = None
         for i in range(len(self.channel_plan)):
             x = self._resblock(qparams[f"resblock_{i}"], x, source,
-                               input_normalized=x_hat_up)
+                               input_normalized=x_hat_up, scales=scales,
+                               record=_record, prefix=f"r{i}")
             # pre-upsample moments + normalization, same trick as
             # models/networks.py::SpadeGenerator (bitwise identical)
             xs = x.astype(jnp.float32)

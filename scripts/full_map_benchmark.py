@@ -9,7 +9,7 @@ number for the <5 min v5e-8 target in BASELINE.md; on a single chip the
 aggregate target is patches_per_s >= ~1920/8 with preprocess small.
 
     python scripts/full_map_benchmark.py --out /tmp/fullmap \
-        [--height 15000 --width 70000] [--quantize int8] [--num_shards 1]
+        [--height 15000 --width 70000] [--quantize int8|int8_static] [--num_shards 1]
 
 Writes <out>/stats.json.  ~30-60 min on one v5e chip at full size; use
 --height/--width to scale down for smoke runs.
@@ -90,13 +90,26 @@ def main():
     params = trainer.init(jax.random.PRNGKey(0)).params
     params = {"generator": params["generator"], "encoder": params["encoder"]}
 
-    if a.quantize == "int8":
+    if a.quantize in ("int8", "int8_static"):
         from moonsuperresolution_tpu.models.networks import sample_latent
         from moonsuperresolution_tpu.models.quant import (
             QuantizedSpadeGenerator)
 
         qgen = QuantizedSpadeGenerator(image_size=a.image_size)
-        params = dict(params, generator=qgen.quantize(params["generator"]))
+        qg = qgen.quantize(params["generator"])
+        if a.quantize == "int8_static":
+            import jax.numpy as jnp
+
+            rng_c = np.random.default_rng(0)
+            for it in range(2):
+                csrc = jnp.asarray(rng_c.uniform(
+                    -0.5, 0.5, (8, a.image_size, a.image_size, 2)),
+                    jnp.float32)
+                mean, logvar = trainer.encoder.apply(
+                    {"params": params["encoder"]}, csrc)
+                z = sample_latent(jax.random.PRNGKey(it), mean, logvar)
+                qg = qgen.calibrate(qg, z, csrc)
+        params = dict(params, generator=qg)
 
         def model_fn(pms, source, rng):
             mean, logvar = trainer.encoder.apply(

@@ -74,6 +74,28 @@ def test_int8_deterministic(gen_and_params):
     np.testing.assert_array_equal(a, b)
 
 
+def test_static_scales_close_to_dynamic(gen_and_params):
+    """Calibrated static activation scales must track the dynamic-quant
+    forward closely on in-range inputs and eliminate nothing semantically
+    (just the per-conv max reductions)."""
+    gen, params, z, src = gen_and_params
+    qgen = QuantizedSpadeGenerator(image_size=IMG, dtype=jnp.float32)
+    qparams = qgen.quantize(params)
+    q_static = qgen.calibrate(qparams, z, src)
+    assert "act_scales" in q_static and len(q_static["act_scales"]) >= 20
+
+    dyn = np.asarray(qgen.apply(qparams, z, src))
+    stat = np.asarray(jax.jit(qgen.apply)(q_static, z, src))
+    span = dyn.max() - dyn.min()
+    rel = np.sqrt(np.mean((dyn - stat) ** 2)) / max(span, 1e-9)
+    assert rel < 0.01, rel
+
+    # calibrating twice keeps scales monotone non-decreasing
+    q2 = qgen.calibrate(q_static, z, src * 1.5)
+    for k, v in q_static["act_scales"].items():
+        assert float(q2["act_scales"][k]) >= float(v) * 0.999
+
+
 def test_engine_int8_load(tmp_path, gen_and_params):
     """load_model_fn(quantize="int8") end to end through a checkpoint."""
     from moonsuperresolution_tpu.config import ModelConfig, TrainConfig
