@@ -41,6 +41,13 @@ class ModelConfig:
     # Dtype for SPADE normalization statistics; float32 for training,
     # bfloat16 is an inference-speed option.
     stats_dtype: str = "float32"
+    # Fuse each SPADE's gamma/beta convs into one 2F-channel conv (single-
+    # chip HBM win, bitwise identical).  Set False for tensor-parallel
+    # meshes: the fused output's channel halves land on different shards,
+    # so slicing gamma/beta forces cross-device collective-permutes; the
+    # unfused convs partition communication-free.  The param tree is
+    # identical in both modes (checkpoints interchange freely).
+    fuse_spade_gb: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

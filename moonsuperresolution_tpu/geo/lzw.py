@@ -1,6 +1,6 @@
 """TIFF-variant LZW codec.
 
-The reference leans on GDAL for LZW GeoTIFF I/O (process_full_tiles.py:701,
+The reference leans on GDAL for LZW GeoTIFF I/O (process_full_tiles.py:521,
 COMPRESS=LZW PREDICTOR=2); this environment has no GDAL, so the codec is
 implemented here: a C++ implementation (native/lzw.cpp, loaded via ctypes)
 with a pure-Python fallback so the framework works without a compiler.

@@ -378,7 +378,13 @@ class TiffStreamWriter:
     def __enter__(self):
         return self
 
-    def __exit__(self, *a):
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            # An exception escaped the with-body: the row count is expected
+            # to be short, so just release the file handle — raising the
+            # "wrote N rows" ValueError here would mask the original error.
+            self.f.close()
+            return
         self.close()
 
 

@@ -128,25 +128,58 @@ def fill_nodata_window(
     raw = np.asarray(read_rows(ra, rb))
     out = raw[a - ra : b - ra].copy()
 
+    jobs = []  # holed tiles whose written interior intersects [a, b)
     for y in tile_ys:
         ymax = min(y + tile_size - border, H - border)
         for x in range(0, W, stride):
             xmax = min(x + tile_size - border, W - border)
-            tile = raw[y - ra : y - ra + tile_size, x : x + tile_size]
-            if not (tile <= no_value).any():
-                continue
-            filled = interpolate_missing_values(
-                tile.copy(), no_value, max_fill_area=max_fill_area,
-                method=method,
-            )
             # interior rows of this tile, clipped to the requested band
             w0, w1 = max(y + border, a), min(ymax, b)
             if w0 >= w1:
                 continue
-            out[w0 - a : w1 - a, x + border : xmax] = filled[
-                w0 - y : w1 - y,
-                border : border + max(0, xmax - x - border),
-            ]
+            tile = raw[y - ra : y - ra + tile_size, x : x + tile_size]
+            if not (tile <= no_value).any():
+                continue
+            jobs.append((y, x, xmax, w0, w1))
+
+    def commit(y, x, xmax, w0, w1, filled):
+        out[w0 - a : w1 - a, x + border : xmax] = filled[
+            w0 - y : w1 - y,
+            border : border + max(0, xmax - x - border),
+        ]
+
+    import os
+
+    if workers == 0:
+        workers = os.cpu_count() or 1
+    if workers <= 1 or len(jobs) < 2:
+        for y, x, xmax, w0, w1 in jobs:
+            filled = interpolate_missing_values(
+                raw[y - ra : y - ra + tile_size, x : x + tile_size].copy(),
+                no_value, max_fill_area=max_fill_area, method=method,
+            )
+            commit(y, x, xmax, w0, w1, filled)
+        return out
+
+    # Independent tiles: fill them in a process pool, same as the in-RAM
+    # sweep (scipy griddata holds the GIL-heavy work in C but the per-blob
+    # Python loop dominates on many-hole tiles).
+    import concurrent.futures
+
+    with concurrent.futures.ProcessPoolExecutor(
+        max_workers=min(workers, len(jobs))
+    ) as pool:
+        futs = {
+            pool.submit(
+                _fill_one,
+                (raw[y - ra : y - ra + tile_size, x : x + tile_size].copy(),
+                 no_value, max_fill_area, method),
+            ): (y, x, xmax, w0, w1)
+            for y, x, xmax, w0, w1 in jobs
+        }
+        for fut in concurrent.futures.as_completed(futs):
+            y, x, xmax, w0, w1 = futs[fut]
+            commit(y, x, xmax, w0, w1, fut.result())
     return out
 
 

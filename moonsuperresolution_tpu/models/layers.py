@@ -72,15 +72,26 @@ def spade_moments(xs: jnp.ndarray, stats: str = "batch"):
         # speed where the in-graph VPU reduce ran ~3x below it (trace);
         # +3 patches/s end-to-end.  MOONSR_DOT_MOMENTS=0 restores the
         # plain reduce.
-        x2 = xs.reshape(-1, xs.shape[-1])
-        ones = jnp.ones((1, x2.shape[0]), xs.dtype)
-        dn = (((1,), (0,)), ((), ()))
+        #
+        # SPMD-critical: the contraction is BATCHED over axis 0 so the
+        # sharded batch dimension survives the reshape ([B,H,W,C] ->
+        # [B,HW,C] keeps axis 0; a flat [B*H*W,C] reshape collapses it
+        # and forces GSPMD to reshard with all-to-alls — the round-2
+        # multi-chip gate failure).  The per-sample partials [B,1,C] are
+        # tiny; their sum over B lowers to a cheap all-reduce under DP,
+        # mirroring the reference's batch-coupled tf.nn.moments
+        # (spade/models/spade.py:21).
+        b = xs.shape[0]
+        hw = xs.shape[1] * xs.shape[2]
+        x2 = xs.reshape(b, hw, xs.shape[-1])
+        ones = jnp.ones((b, 1, hw), xs.dtype)
+        dn = (((2,), (1,)), ((0,), (0,)))
         s1 = jax.lax.dot_general(ones, x2, dn,
                                  preferred_element_type=jnp.float32)
         s2 = jax.lax.dot_general(ones, x2 * x2, dn,
                                  preferred_element_type=jnp.float32)
-        s1 = s1.reshape(1, 1, 1, -1)
-        s2 = s2.reshape(1, 1, 1, -1)
+        s1 = jnp.sum(s1, axis=0).reshape(1, 1, 1, -1)
+        s2 = jnp.sum(s2, axis=0).reshape(1, 1, 1, -1)
     else:
         s1 = jnp.sum(xs, axis=axes, keepdims=True)
         s2 = jnp.sum(xs * xs, axis=axes, keepdims=True)
@@ -129,6 +140,12 @@ class SPADE(nn.Module):
     # Moments default to float32 for training stability; inference can set
     # bfloat16 to skip the cast round-trips (fidelity-tested tolerance).
     stats_dtype: Any = jnp.float32
+    # Fused gamma/beta conv: single-chip HBM win (see below), but under
+    # tensor parallelism the 2F-channel output's halves land on different
+    # model shards and the gamma/beta slices force collective-permutes —
+    # set False on TP meshes (ModelConfig.fuse_spade_gb).  Same param tree
+    # either way; outputs bitwise identical.
+    fuse_gb: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
@@ -147,13 +164,25 @@ class SPADE(nn.Module):
                                        name="conv_gamma")()
         k_beta, b_beta = _ConvParams(self.filters, self.hidden,
                                      name="conv_beta")()
-        k_gb = jnp.concatenate([k_gamma, k_beta], axis=-1).astype(self.dtype)
-        b_gb = jnp.concatenate([b_gamma, b_beta]).astype(self.dtype)
         dn = jax.lax.conv_dimension_numbers(
-            h.shape, k_gb.shape, ("NHWC", "HWIO", "NHWC"))
-        gb = jax.lax.conv_general_dilated(
-            h, k_gb, (1, 1), "SAME", dimension_numbers=dn) + b_gb
-        gamma, beta = gb[..., : self.filters], gb[..., self.filters :]
+            h.shape, k_gamma.shape, ("NHWC", "HWIO", "NHWC"))
+        if self.fuse_gb:
+            k_gb = jnp.concatenate([k_gamma, k_beta],
+                                   axis=-1).astype(self.dtype)
+            b_gb = jnp.concatenate([b_gamma, b_beta]).astype(self.dtype)
+            gb = jax.lax.conv_general_dilated(
+                h, k_gb, (1, 1), "SAME", dimension_numbers=dn) + b_gb
+            gamma, beta = gb[..., : self.filters], gb[..., self.filters :]
+        else:
+            # Separate convs: with replicated kernels GSPMD partitions each
+            # output to match its (possibly channel-sharded) consumer by
+            # local kernel slicing — zero communication.
+            gamma = jax.lax.conv_general_dilated(
+                h, k_gamma.astype(self.dtype), (1, 1), "SAME",
+                dimension_numbers=dn) + b_gamma.astype(self.dtype)
+            beta = jax.lax.conv_general_dilated(
+                h, k_beta.astype(self.dtype), (1, 1), "SAME",
+                dimension_numbers=dn) + b_beta.astype(self.dtype)
         if normalized is None:
             # ``moments``/``normalized`` overrides: a 2x-nearest upsample
             # duplicates every element 4x, so both the moments and the
@@ -183,6 +212,7 @@ class SpadeResidualBlock(nn.Module):
     stats: str = "batch"
     dtype: Any = jnp.float32
     stats_dtype: Any = jnp.float32
+    fuse_gb: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
@@ -197,18 +227,18 @@ class SpadeResidualBlock(nn.Module):
             input_normalized = (xs - mean) * jnp.reciprocal(
                 jnp.sqrt(var + 1e-5))
         h = SPADE(in_filters, stats=self.stats, dtype=self.dtype,
-                  stats_dtype=self.stats_dtype,
+                  stats_dtype=self.stats_dtype, fuse_gb=self.fuse_gb,
                   name="spade_1")(x, mask, normalized=input_normalized)
         h = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=glorot_uniform, name="conv_1")(leaky_relu(h, self.alpha))
         h = SPADE(self.filters, stats=self.stats, dtype=self.dtype,
-                  stats_dtype=self.stats_dtype,
+                  stats_dtype=self.stats_dtype, fuse_gb=self.fuse_gb,
                   name="spade_2")(h, mask)
         h = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=glorot_uniform, name="conv_2")(leaky_relu(h, self.alpha))
         if self.filters != in_filters:
             skip = SPADE(in_filters, stats=self.stats, dtype=self.dtype,
-                         stats_dtype=self.stats_dtype,
+                         stats_dtype=self.stats_dtype, fuse_gb=self.fuse_gb,
                          name="spade_3")(x, mask, normalized=input_normalized)
             skip = nn.Conv(self.filters, (3, 3), padding="SAME",
                            kernel_init=glorot_uniform, dtype=self.dtype,

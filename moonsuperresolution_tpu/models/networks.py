@@ -83,6 +83,9 @@ class SpadeGenerator(nn.Module):
     channel_plan: tuple = (1024, 1024, 1024, 512, 256, 128)
     dtype: Any = jnp.float32
     stats_dtype: Any = jnp.float32
+    # See layers.SPADE.fuse_gb: True for single-chip speed, False on TP
+    # meshes (keeps the step HLO collective-permute-free).
+    fuse_spade_gb: bool = True
 
     @nn.compact
     def __call__(self, latent: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
@@ -101,14 +104,17 @@ class SpadeGenerator(nn.Module):
             x = SpadeResidualBlock(ch, alpha=self.alpha, stats=self.stats,
                                    dtype=self.dtype,
                                    stats_dtype=self.stats_dtype,
+                                   fuse_gb=self.fuse_spade_gb,
                                    name=f"resblock_{i}")(
                 x, source, input_normalized=x_hat_up)
             # 2x nearest upsampling duplicates every element 4x, so the next
             # block's SPADE moments AND normalized input equal the upsampled
             # pre-upsample results — compute both BEFORE upsampling (4x less
             # reduction + normalization traffic; stat reductions alone were
-            # 18% of inference time in the tile-program trace).  Bitwise
-            # identical: every duplicated element is normalized once.
+            # 18% of inference time in the tile-program trace).
+            # Mathematically identical (summing N elements instead of 4N
+            # changes f32 accumulation order, so results agree to ulps, not
+            # bits — parity tests use float tolerances accordingly).
             xs = x.astype(sdt)
             mean, var = spade_moments(xs, self.stats)
             x_hat = (xs - mean) * jnp.reciprocal(jnp.sqrt(var + 1e-5))

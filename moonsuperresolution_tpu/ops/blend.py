@@ -143,7 +143,7 @@ def fold_weighted_moments(
     Args:
       values: ``[Gy, Gx, P, P]`` denormalized SR patches (already purge-cropped).
       valid:  ``[Gy, Gx]`` 0/1 mask; invalid patches contribute zero weight
-        (the reference simply skips them, process_full_tiles.py:635-637).
+        (the reference simply skips them, process_full_tiles.py:391-395).
       weight: ``[P, P]`` blending window (``gaussian_blend_kernel``).
       stride: grid stride.
 

@@ -83,6 +83,7 @@ class GauGANTrainer:
         self.generator = SpadeGenerator(
             image_size=m.image_size, alpha=m.alpha, stats=m.spade_stats,
             dtype=dtype, stats_dtype=sdtype,
+            fuse_spade_gb=m.fuse_spade_gb,
         )
         self.discriminator = SpadeDiscriminator(alpha=m.alpha, dtype=dtype)
 

@@ -58,11 +58,57 @@ def restore_params(path: str) -> Any:
 
 
 class _WeightStream:
-    """Sequential reader over (name, value) pairs in creation order."""
+    """Sequential reader over (name, value) pairs in creation order.
+
+    Two guards make mis-mapped imports fail loudly instead of silently:
+
+    - ``take``'s shape predicate (a Dense where a conv was expected, etc.);
+    - a *creation-order* check on Keras auto-generated layer names: TF
+      numbers same-type layers in creation order (``conv2d``, ``conv2d_1``,
+      ...), so within one SavedModel the per-family index must never
+      decrease.  Any permutation of same-shape tensors (e.g. a resblock's
+      conv_1 and conv_2, both [3,3,1024,1024] — undetectable by shape)
+      trips this check.  Streams with uninformative names (no layer path)
+      skip the guard; order+shape remain the contract there.
+    """
 
     def __init__(self, names, values):
         self.items = list(zip(names, values))
         self.pos = 0
+        self._family_idx: dict = {}
+
+    @staticmethod
+    def _layer_family(name):
+        """('conv2d', 3) from 'model/conv2d_3/kernel:0'; None if the name
+        carries no layer path."""
+        if not isinstance(name, str) or "/" not in name:
+            return None
+        layer = name.split("/")[-2]
+        if not layer:
+            return None
+        import re
+
+        m = re.fullmatch(r"(.*?)(?:_(\d+))?", layer)
+        base, idx = m.group(1), m.group(2)
+        if not base:
+            return None
+        return base, int(idx) if idx is not None else 0
+
+    def _check_order(self, name):
+        fam = self._layer_family(name)
+        if fam is None:
+            return
+        base, idx = fam
+        prev = self._family_idx.get(base)
+        if prev is not None and idx < prev:
+            raise ValueError(
+                f"weight stream out of creation order at #{self.pos}: "
+                f"layer '{base}_{idx}' after '{base}_{prev}' — the "
+                f"SavedModel's variable order does not match the reference "
+                f"builders' creation order; refusing to import (same-shape "
+                f"tensors would be silently mis-mapped)"
+            )
+        self._family_idx[base] = max(idx, prev if prev is not None else idx)
 
     def take(self, pred, what: str):
         """Pop the next item matching ``pred`` (skipping non-matches is NOT
@@ -75,6 +121,7 @@ class _WeightStream:
                 f"unexpected weight at #{self.pos} ({name}, shape "
                 f"{np.shape(val)}) while looking for {what}"
             )
+        self._check_order(name)
         self.pos += 1
         return np.asarray(val)
 

@@ -12,9 +12,19 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags += " --xla_force_host_platform_device_count=8"
+# 8 virtual SPMD device threads share one core here: a collective's last
+# arriver trails by the others' serialized compute, so XLA's default 20 s /
+# 40 s CPU-rendezvous stuck/terminate timeouts misfire on scheduling
+# jitter.  Raise them — collective *structure* is checked explicitly in
+# test_sharding (no all-to-all / collective-permute in the step HLO).
+for _f in (
+    "--xla_cpu_collective_call_warn_stuck_timeout_seconds=240",
+    "--xla_cpu_collective_call_terminate_timeout_seconds=1200",
+):
+    if _f.split("=")[0] not in _flags:
+        _flags += " " + _f
+os.environ["XLA_FLAGS"] = _flags.strip()
 
 import jax  # noqa: E402
 

@@ -52,6 +52,20 @@ class TestSPADE:
         want = np.asarray(gamma) * (x - mean) / np.sqrt(var + 1e-5) + np.asarray(beta)
         np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3, atol=2e-3)
 
+    def test_fused_and_unfused_gamma_beta_identical(self, rng):
+        """fuse_gb=False (the TP-mesh mode) produces bitwise-identical
+        outputs with the same param tree — each output channel is an
+        independent dot product either way."""
+        x = rng.standard_normal((2, 8, 8, 6)).astype(np.float32)
+        mask = rng.standard_normal((2, 16, 16, 2)).astype(np.float32)
+        fused = SPADE(filters=6, fuse_gb=True)
+        unfused = SPADE(filters=6, fuse_gb=False)
+        params = fused.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                            jnp.asarray(mask))
+        a = fused.apply(params, jnp.asarray(x), jnp.asarray(mask))
+        b = unfused.apply(params, jnp.asarray(x), jnp.asarray(mask))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_instance_stats_option(self, rng):
         x = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
         mask = rng.standard_normal((2, 8, 8, 2)).astype(np.float32)
