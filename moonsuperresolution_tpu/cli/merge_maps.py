@@ -26,6 +26,9 @@ def parse():
                    help="expected shard count (error if incomplete)")
     p.add_argument("--keep_tiles", action="store_true",
                    help="keep per-tile dumps after merging")
+    p.add_argument("--streaming", action="store_true",
+                   help="merge streaming-shard band TIFFs "
+                        "(<map>_sshard*of*) instead of per-tile dumps")
     return p.parse_args()
 
 
@@ -33,9 +36,17 @@ def main():
     import os
     import shutil
 
-    from moonsuperresolution_tpu.infer.merge import merge_shards
+    from moonsuperresolution_tpu.infer.merge import (
+        merge_shards,
+        merge_shards_streaming,
+    )
 
     a = parse()
+    if a.streaming:
+        out = merge_shards_streaming(a.save_path, a.map_name,
+                                     expect_shards=a.num_shards)
+        print(out)
+        return
     out = merge_shards(a.save_path, a.map_name, expect_shards=a.num_shards)
     print(out)
     if not a.keep_tiles:

@@ -96,10 +96,9 @@ def main():
                                   quantize=a.quantize)
     engine = DEMSuperResolution(cfg, model=model, model_params=params)
     if a.streaming:
-        if a.num_shards != 1:
-            raise SystemExit("--streaming is single-shard (tile rows "
-                             "stream in order); shard with the in-RAM path")
-        stats = engine.process_map_streaming(fill_method=a.fill_method)
+        stats = engine.process_map_streaming(fill_method=a.fill_method,
+                                             shard_index=a.shard_index,
+                                             num_shards=a.num_shards)
     else:
         stats = engine.process_map(shard_index=a.shard_index,
                                    num_shards=a.num_shards,

@@ -1,7 +1,7 @@
 """Large-raster DEM super-resolution engine.
 
 TPU-native redesign of the reference's host-loop inference
-(process_full_tiles.py:309-775).  The raster is cut into 1024-px tiles with
+(process_full_tiles.py:129-594).  The raster is cut into 1024-px tiles with
 an (image_size - stride) halo; for each tile, *everything between raster
 slicing and the blended mean/std/coverage planes runs on-device in a single
 jitted program*:
@@ -12,17 +12,17 @@ jitted program*:
 
 versus the reference, which runs per-patch numpy normalization, one
 host->device->host round trip per batch, and a sequential Welford loop per
-tile (process_full_tiles.py:611-659).  The overlapping generations double as
+tile (process_full_tiles.py:363-414).  The overlapping generations double as
 a Monte-Carlo uncertainty estimate exactly as in the reference: ~64
 generations per pixel at stride = image_size/8, Gaussian-weighted, with
-std = sqrt(S / w_sum) (process_full_tiles.py:543-594).
+std = sqrt(S / w_sum) (process_full_tiles.py:386-414).
 
 Host work that remains host work: nodata interpolation (scipy, infer/fill.py)
 and the one-time /16 low-res DEM synthesis over the full raster.  Tiles
 stream through the device with async dispatch so the host slices tile i+1
 while the TPU processes tile i.
 
-The tile list is the distribution point (process_full_tiles.py:493-505):
+The tile list is the distribution point (process_full_tiles.py:313-325):
 ``shard_index / num_shards`` splits it across processes or pods, and within a
 process the patch batch axis is shardable over a device mesh.
 """
@@ -61,7 +61,7 @@ def load_model_fn(
 
     ``model_path`` empty/None -> (None, None): identity model — returns the
     low-res DEM channel unchanged, the reference's pipeline-fidelity dry-run
-    mode (process_full_tiles.py:309-323).  Otherwise restores an Orbax
+    mode (process_full_tiles.py:139-143).  Otherwise restores an Orbax
     checkpoint of the given variant (utils/checkpoint.py) and returns
     ``(fn, params)`` with ``fn(params, source[B,H,W,2], rng) -> [B,H,W]``.
     Params are threaded as arguments (never closure constants) so the jitted
@@ -97,18 +97,28 @@ def load_model_fn(
 
         qgen = QuantizedSpadeGenerator(image_size=image_size)
         qg = qgen.quantize(params["generator"])
-        if quantize == "int8_static":
+
+        def _calibrate(qparams, src_batch, seed: int, margin: float = 1.05):
             import jax as _jax
 
+            mean, logvar = trainer.encoder.apply(
+                {"params": params["encoder"]}, jnp.asarray(src_batch))
+            z = trainer._latent(_jax.random.PRNGKey(seed), mean, logvar)
+            return qgen.calibrate(qparams, z, jnp.asarray(src_batch),
+                                  margin=margin)
+
+        if quantize == "int8_static":
+            # Bootstrap scales on synthetic normalized patches; the engine
+            # re-calibrates on REAL patches from the target raster before
+            # processing (calibrate_on below) — real DEM/ortho activations
+            # are structured and can exceed the synthetic ranges, which
+            # would silently clip to +-127.
             rng_c = _np.random.default_rng(0)
             for it in range(2):
                 src = rng_c.uniform(
                     -0.5, 0.5, (8, image_size, image_size, 2)
                 ).astype(_np.float32)
-                mean, logvar = trainer.encoder.apply(
-                    {"params": params["encoder"]}, jnp.asarray(src))
-                z = trainer._latent(_jax.random.PRNGKey(it), mean, logvar)
-                qg = qgen.calibrate(qg, z, jnp.asarray(src))
+                qg = _calibrate(qg, src, seed=it)
         params = dict(params, generator=qg)
 
         def fn(params, source, rng):
@@ -117,6 +127,16 @@ def load_model_fn(
             z = trainer._latent(rng, mean, logvar)
             fake = qgen.apply(params["generator"], z, source)
             return fake[..., 0]
+
+        if quantize == "int8_static":
+            # Engine hook: widen the static activation scales with real
+            # patches from the raster being processed (margin 1.1).
+            def calibrate_on(model_params, src_batch):
+                qg2 = _calibrate(model_params["generator"], src_batch,
+                                 seed=17, margin=1.1)
+                return dict(model_params, generator=qg2)
+
+            fn.calibrate_on = calibrate_on
 
         return fn, params
     elif quantize != "none":
@@ -172,7 +192,7 @@ class DEMSuperResolution:
 
     def load_images(self) -> None:
         """Read the DEM + ortho rasters and their geo metadata
-        (reference: process_full_tiles.py:338-362)."""
+        (reference: process_full_tiles.py:158-182)."""
         img_path = os.path.join(self.cfg.source_folder_path,
                                 self.cfg.ortho_image_name)
         dem_path = os.path.join(self.cfg.source_folder_path, self.cfg.dem_name)
@@ -189,7 +209,7 @@ class DEMSuperResolution:
 
     def preprocess(self, fill_method: str = "fast") -> None:
         """Fill small nodata holes and synthesize the /16 low-res
-        conditioning DEM (reference: process_full_tiles.py:406-424).
+        conditioning DEM (reference: process_full_tiles.py:226-244).
 
         fill_nodata parallelizes over holed tiles (process pool); the cv2
         resizes are single multi-threaded C++ passes.  Timed separately in
@@ -219,7 +239,7 @@ class DEMSuperResolution:
 
     def pad_inputs(self) -> None:
         """Pad to tile_size multiples plus the tile halo, filled with
-        no_value (reference: process_full_tiles.py:426-447)."""
+        no_value (reference: process_full_tiles.py:246-267)."""
         g = self.geom
         t = self.cfg.tile_size
         h, w = self.dem_shape
@@ -236,7 +256,7 @@ class DEMSuperResolution:
 
     def generate_tile_list(self, shard_index: int = 0, num_shards: int = 1):
         """Tile corner list; shardable across processes
-        (reference: process_full_tiles.py:493-505)."""
+        (reference: process_full_tiles.py:313-325)."""
         t = self.cfg.tile_size
         tiles = [
             (xx, yy)
@@ -293,13 +313,13 @@ class DEMSuperResolution:
                 pd = pd.reshape(n_patches, i_sz, i_sz)
 
                 # Validity: any nodata pixel rejects the patch
-                # (process_full_tiles.py:449-473).
+                # (process_full_tiles.py:269-293).
                 valid = (jnp.min(pi, axis=(1, 2)) > no_value) & (
                     jnp.min(pd, axis=(1, 2)) > no_value
                 )
 
                 # Per-patch min-max normalization, zero-centered
-                # (process_full_tiles.py:475-491).
+                # (process_full_tiles.py:295-311).
                 imin = jnp.min(pi, axis=(1, 2), keepdims=True)
                 imax = jnp.max(pi, axis=(1, 2), keepdims=True)
                 pi_n = (pi - imin) / jnp.maximum(imax - imin, 1e-12) - 0.5
@@ -310,14 +330,14 @@ class DEMSuperResolution:
                 x = jnp.stack([pi_n, pd_n], axis=-1)  # [N, I, I, 2]
             if model is None:
                 # Identity: emit the low-res DEM channel — full pipeline
-                # fidelity check (process_full_tiles.py:309-323).  Elementwise,
+                # fidelity check (process_full_tiles.py:139-143).  Elementwise,
                 # so no batch packing is needed.
                 preds = x[..., 1]
             else:
                 # Reference batch composition: only *valid* patches are packed
                 # into inference batches, in grid order, and the final short
                 # batch is padded with zero patches (process_full_tiles.py:
-                # 449-474).  Because SPADE normalizes with batch-coupled
+                # 454-475).  Because SPADE normalizes with batch-coupled
                 # moments, batch membership changes valid-patch outputs — so
                 # we gather valid patches densely before chunking (a stable
                 # argsort keeps grid order), zero the rest, and scatter the
@@ -377,10 +397,10 @@ class DEMSuperResolution:
             preds = preds.reshape(n_patches, i_sz, i_sz)
 
             # Denormalize: +0.5 de-center then per-patch min-max restore
-            # (process_full_tiles.py:518-524, 576).
+            # (process_full_tiles.py:340, 388).
             vals = (preds + 0.5) * (dmax - dmin) + dmin
 
-            # Purge patch borders and fold (process_full_tiles.py:570-594).
+            # Purge patch borders and fold (process_full_tiles.py:386-414).
             p0 = g.purge
             vals = vals[:, p0 : i_sz - p0, p0 : i_sz - p0]
             vals = vals.reshape(g.grid, g.grid, g.patch, g.patch)
@@ -448,6 +468,12 @@ class DEMSuperResolution:
         g = self.geom
         d = self.mesh.shape["data"]
         assert len(tiles) <= d
+        if tiles:
+            px0, py0 = tiles[0]
+            self._maybe_calibrate(
+                self.img_padded[py0 : py0 + g.slab, px0 : px0 + g.slab],
+                self.dem_padded[py0 : py0 + g.slab, px0 : px0 + g.slab],
+            )
         img = np.full((d, g.slab, g.slab), self.no_value, np.float32)
         dem = np.full((d, g.slab, g.slab), self.no_value, np.float32)
         rngs = np.zeros((d, 2), np.uint32)
@@ -482,6 +508,45 @@ class DEMSuperResolution:
         """Deterministic per-tile PRNG key from (config seed, tile corner)."""
         base = jax.random.PRNGKey(self.cfg.seed)
         return jax.random.fold_in(jax.random.fold_in(base, px), py)
+
+    def _maybe_calibrate(self, img_slab, dem_slab) -> None:
+        """One-time int8_static re-calibration on REAL patches (ADVICE r2):
+        the loader bootstraps activation scales on synthetic noise, but real
+        DEM/ortho activations are structured and can exceed them (silent
+        clipping).  Extract up to 8 valid patches from the first staged
+        slab, normalize exactly like the tile program, and widen the scales
+        (monotone max) before any tile is processed."""
+        if (self.model is None
+                or not hasattr(self.model, "calibrate_on")
+                or getattr(self, "_calibrated", False)):
+            return
+        self._calibrated = True
+        g = self.geom
+        img = np.asarray(img_slab)
+        dem = np.asarray(dem_slab)
+        patches = []
+        for gy in range(g.grid):
+            for gx in range(g.grid):
+                y, x = gy * g.stride, gx * g.stride
+                pi = img[y : y + g.image_size, x : x + g.image_size]
+                pd = dem[y : y + g.image_size, x : x + g.image_size]
+                if pi.min() <= self.no_value or pd.min() <= self.no_value:
+                    continue
+
+                def norm(p):
+                    lo, hi = float(p.min()), float(p.max())
+                    return (p - lo) / max(hi - lo, 1e-12) - 0.5
+
+                patches.append(np.stack([norm(pi), norm(pd)], axis=-1))
+                if len(patches) >= 8:
+                    break
+            if len(patches) >= 8:
+                break
+        if not patches:
+            return  # fully-invalid slab; synthetic bootstrap scales remain
+        batch = np.stack(patches).astype(np.float32)
+        self.model_params = self.model.calibrate_on(self.model_params, batch)
+        self._device_params = jax.device_put(self.model_params)
 
     def run_tiles_serial(self, tiles, commit, progress: bool = False,
                          profile_dir: Optional[str] = None,
@@ -518,6 +583,8 @@ class DEMSuperResolution:
         with concurrent.futures.ThreadPoolExecutor(1) as up_pool, \
                 concurrent.futures.ThreadPoolExecutor(1) as down_pool:
             staged = stage(*tiles[0]) if tiles else None
+            if staged is not None:
+                self._maybe_calibrate(*staged)
             for idx, (px, py) in enumerate(tiles):
                 nxt = (up_pool.submit(stage, *tiles[idx + 1])
                        if idx + 1 < len(tiles) else None)
@@ -546,7 +613,7 @@ class DEMSuperResolution:
 
     def save_tile(self, mean, std, good, name: str) -> None:
         """Optional per-tile dumps in the reference's layout
-        (process_full_tiles.py:596-609): tile_<x>_<y>/tile_<x>_<y>_{mean,std,
+        (process_full_tiles.py:416-429): tile_<x>_<y>/tile_<x>_<y>_{mean,std,
         correct}.tif.  Useful for distributing post-processing."""
         tile_dir = os.path.join(self.cfg.save_path, f"tile_{name}")
         os.makedirs(tile_dir, exist_ok=True)
@@ -559,7 +626,7 @@ class DEMSuperResolution:
 
     def save_gtiff(self, data: np.ndarray, name: str) -> None:
         """Write one output map as LZW GeoTIFF with geo metadata + nodata
-        (reference: process_full_tiles.py:661-711)."""
+        (reference: process_full_tiles.py:481-531)."""
         os.makedirs(self.cfg.save_path, exist_ok=True)
         path = os.path.join(self.cfg.save_path,
                             f"{self.cfg.map_name}_{name}.tiff")
@@ -573,7 +640,7 @@ class DEMSuperResolution:
                     profile_dir: Optional[str] = None,
                     fill_method: str = "fast") -> dict:
         """Full pipeline: load -> preprocess -> pad -> tiles -> 3 GeoTIFFs
-        (reference: process_full_tiles.py:748-767).  Returns timing stats."""
+        (reference: process_full_tiles.py:568-587).  Returns timing stats."""
         t0 = time.time()
         self.load_images()
         self.preprocess(fill_method=fill_method)
@@ -592,8 +659,10 @@ class DEMSuperResolution:
         # output path; cli/merge_maps reassembles (reference: rebuildMap,
         # process_full_tiles.py:533-566).
         sharded = num_shards > 1
-        if sharded:
-            self.cfg.save_tiles = True
+        # Sharded runs always dump per-tile files (a local decision — the
+        # config is not mutated, so a later non-sharded process_map on the
+        # same engine keeps its own save_tiles setting).
+        save_tiles = self.cfg.save_tiles or sharded
         t1 = time.time()
         tile_parallel = (
             self.mesh is not None and self.mesh.shape.get("data", 1) > 1
@@ -606,12 +675,13 @@ class DEMSuperResolution:
                 outs = self.process_tile_group(group)
                 for (px, py), out in zip(group, outs):
                     self._commit_tile((px, py, out), mean_map, std_map,
-                                      good_map)
+                                      good_map, save_tiles=save_tiles)
                 if progress:
                     print(f"tiles {gi + len(group)}/{len(tiles)}", flush=True)
         else:
             def commit(px, py, out):
-                self._commit_tile((px, py, out), mean_map, std_map, good_map)
+                self._commit_tile((px, py, out), mean_map, std_map, good_map,
+                                  save_tiles=save_tiles)
 
             self.run_tiles_serial(tiles, commit, progress=progress,
                                   profile_dir=profile_dir)
@@ -658,19 +728,28 @@ class DEMSuperResolution:
         return stats
 
     def process_map_streaming(self, progress: bool = True,
-                              fill_method: str = "fast") -> dict:
+                              fill_method: str = "fast",
+                              shard_index: int = 0,
+                              num_shards: int = 1) -> dict:
         """Bounded-memory pipeline for rasters too large to hold in host
         RAM: row-band reads, windowed nodata fill, banded /16 LR synthesis,
-        and strip-streamed GeoTIFF output (infer/streaming.py)."""
+        and strip-streamed GeoTIFF output (infer/streaming.py).  With
+        ``num_shards > 1`` tile-row bands stride across shards; merge with
+        ``infer/merge.py::merge_shards_streaming``."""
         from moonsuperresolution_tpu.infer.streaming import (
             process_map_streaming,
         )
 
         return process_map_streaming(self, progress=progress,
-                                     fill_method=fill_method)
+                                     fill_method=fill_method,
+                                     shard_index=shard_index,
+                                     num_shards=num_shards)
 
-    def _commit_tile(self, pending, mean_map, std_map, good_map):
+    def _commit_tile(self, pending, mean_map, std_map, good_map,
+                     save_tiles: bool | None = None):
         px, py, (mean_t, std_t, good_t) = pending
+        if save_tiles is None:
+            save_tiles = self.cfg.save_tiles
         t = self.cfg.tile_size
         h, w = self.dem_shape
         hh = min(t, h - py)
@@ -678,5 +757,5 @@ class DEMSuperResolution:
         mean_map[py : py + hh, px : px + ww] = np.asarray(mean_t)[:hh, :ww]
         std_map[py : py + hh, px : px + ww] = np.asarray(std_t)[:hh, :ww]
         good_map[py : py + hh, px : px + ww] = np.asarray(good_t)[:hh, :ww]
-        if self.cfg.save_tiles and self.cfg.save_path:
+        if save_tiles and self.cfg.save_path:
             self.save_tile(mean_t, std_t, good_t, f"{px}_{py}")

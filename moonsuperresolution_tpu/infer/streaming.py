@@ -8,10 +8,11 @@ processes the same pipeline one tile-row at a time with bounded memory:
 - the ortho raster is read in row bands (``TiffReader.read_rows``) and its
   nodata holes filled with the window-exact band sweep
   (``infer/fill.py::fill_nodata_window`` — bit-exact vs the in-RAM sweep);
-- the /16 low-res conditioning DEM is synthesized from two streamed /4
-  area-downscales (the quarter-res intermediate, 16x smaller, is the only
-  full-extent array kept) with the final cubic upsample evaluated per row
-  band via explicit cv2-equivalent taps (``ops/resize.py::cubic_taps``);
+- the /16 low-res conditioning DEM is synthesized incrementally on a
+  producer thread (``infer/lr_synth.py``: streamed /4, tile-wise fill, /4
+  again), publishing s16 rows as they become final so tile compute starts
+  immediately; the final cubic upsample is evaluated per row band via
+  explicit cv2-equivalent taps (``ops/resize.py::cubic_taps``);
 - output maps stream to disk through ``geo/tiff.py::TiffStreamWriter``
   (strips compressed as tile rows complete — nothing map-sized in RAM).
 
@@ -34,28 +35,32 @@ import time
 import numpy as np
 
 from moonsuperresolution_tpu.geo.tiff import TiffReader, TiffStreamWriter
-from moonsuperresolution_tpu.infer.fill import fill_nodata, fill_nodata_window
+from moonsuperresolution_tpu.infer.fill import fill_nodata_window
 from moonsuperresolution_tpu.ops.resize import (
     resample_cols_banded,
     resample_rows_banded,
 )
 
 
-def _quarter_area_nan(band: np.ndarray) -> np.ndarray:
-    """cv2.INTER_AREA /4 on a NaN-masked band (rows % 4 == 0): integer box
-    mean, NaN-propagating — identical to the full-raster cv2 call because
-    the scale is exactly 4."""
-    import cv2
-
-    h, w = band.shape
-    return cv2.resize(band, (w // 4, h // 4), interpolation=cv2.INTER_AREA)
-
-
 def process_map_streaming(engine, progress: bool = True,
-                          fill_method: str = "fast") -> dict:
-    """Streaming counterpart of ``DEMSuperResolution.process_map`` (single
-    shard, single device).  Returns the same stats dict; output maps go
-    straight to GeoTIFF (no ``engine.result``)."""
+                          fill_method: str = "fast",
+                          shard_index: int = 0,
+                          num_shards: int = 1) -> dict:
+    """Streaming counterpart of ``DEMSuperResolution.process_map``.  Returns
+    the same stats dict; output maps go straight to GeoTIFF (no
+    ``engine.result``).
+
+    With ``num_shards > 1`` the tile-row bands are strided across shards
+    (band ``k`` belongs to shard ``k % num_shards`` — the streaming analog of
+    the reference's distributable tile list, process_full_tiles.py:313-325).
+    Each shard streams its bands into a stacked per-shard TIFF triple plus a
+    JSON manifest; ``infer/merge.py::merge_shards_streaming`` interleaves the
+    bands into the final maps without ever holding a full map in RAM.
+    Bit-exact with a single-shard run: tiles are computed independently with
+    per-tile PRNG keys.
+    """
+    if not (0 <= shard_index < num_shards):
+        raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
     cfg = engine.cfg
     g = engine.geom
     nv = engine.no_value
@@ -79,32 +84,32 @@ def process_map_streaming(engine, progress: bool = True,
     engine.geo_transform = dem_r.geo_transform
     engine.projection = dem_r.projection
 
-    # ---- phase A: quarter-res DEM from streamed /4 bands, then the exact
-    # in-RAM fill + second /4 on the (16x smaller) intermediates
-    # (reference: process_full_tiles.py:406-424 semantics).
-    import cv2
+    # ---- phase A, overlapped: the /16 LR-DEM synthesis (streamed /4 ->
+    # fill -> /4, reference semantics process_full_tiles.py:226-244) runs on
+    # a producer thread that publishes s16 rows as they become final
+    # (infer/lr_synth.py, bit-exact with the sequential build) — the first
+    # tile rows start while the raster tail is still being read, instead of
+    # reproducing the reference's strictly sequential phases
+    # (process_full_tiles.py:568-587).
+    import os as _os
 
-    hq, wq = h // 4, w // 4
-    quarter = np.empty((hq, wq), np.float32)
-    band_rows = 4096
-    for y in range(0, h, band_rows):
-        y1 = min(h, y + band_rows)
-        raw = dem_r.read_rows(y, y1).astype(np.float32)
-        raw[raw <= nv] = np.nan
-        quarter[y // 4 : y1 // 4] = _quarter_area_nan(raw)
-    quarter[np.isnan(quarter)] = nv
-    quarter = fill_nodata(quarter, nv, tile_size=256, border=32,
-                          max_fill_area=24, method=fill_method,
-                          workers=cfg.fill_workers)
-    quarter[quarter <= nv] = np.nan
-    s16 = cv2.resize(quarter, (0, 0), fx=0.25, fy=0.25,
-                     interpolation=cv2.INTER_AREA)
-    del quarter
+    from moonsuperresolution_tpu.infer.lr_synth import IncrementalLrSynth
+
+    synth = IncrementalLrSynth(
+        dem_r, h, w, nv, fill_method=fill_method,
+        workers=cfg.fill_workers or (_os.cpu_count() or 1),
+    )
 
     # ---- geometry (same formulas as pad_inputs)
     halo = g.halo
     new_w = ((w // t) + 1) * t + halo * 2
     t_pre = time.time() - t0
+
+    # ---- band assignment (sharded runs stride the tile-row bands)
+    all_bands = list(range(0, h, t))
+    bands = all_bands[shard_index::num_shards]
+    sharded = num_shards > 1
+    shard_h = sum(min(t, h - py) for py in bands)
 
     # ---- output stream writers
     writers = {}
@@ -112,9 +117,16 @@ def process_map_streaming(engine, progress: bool = True,
         os.makedirs(cfg.save_path, exist_ok=True)
 
         def mk(name, dtype):
+            if sharded:
+                fname = (f"{cfg.map_name}_sshard{shard_index}"
+                         f"of{num_shards}_{name}.tiff")
+                height = shard_h
+            else:
+                fname = f"{cfg.map_name}_{name}.tiff"
+                height = h
             return TiffStreamWriter(
-                os.path.join(cfg.save_path, f"{cfg.map_name}_{name}.tiff"),
-                w, h, dtype, engine.geo_transform, engine.projection,
+                os.path.join(cfg.save_path, fname),
+                w, height, dtype, engine.geo_transform, engine.projection,
                 nodata=nv, compress="lzw",
             )
 
@@ -123,71 +135,123 @@ def process_map_streaming(engine, progress: bool = True,
                    "good": mk("good", np.uint16)}
 
     # ---- per-tile-row band pipeline
-    n_rows_tiles = len(range(0, h, t))
+    n_rows_tiles = len(bands)
     tiles_x = list(range(0, ((w // t) + 1) * t, t))
     n_tiles = 0
     t1 = time.time()
 
     def lr_band(a: int, b: int) -> np.ndarray:
-        """Synthesized low-res DEM rows [a, b) (full width)."""
-        rows = resample_rows_banded(s16, h, a, b)
+        """Synthesized low-res DEM rows [a, b) (full width); blocks until
+        the producer has published the s16 rows its cubic taps read."""
+        synth.wait_rows(
+            min(synth.h16, -(-(b * synth.h16) // h) + 4))
+        rows = resample_rows_banded(synth.s16, h, a, b)
         band = resample_cols_banded(rows, w)
         band[np.isnan(band)] = nv
         return band
 
-    for py in range(0, h, t):
-        # raster rows this band covers (slab space: [py - halo, py + t + halo))
+    def prep_band(py: int):
+        """Host work for one tile-row band: windowed ortho fill + LR-DEM
+        synthesis + padded slab assembly.  Runs one band ahead of the
+        device on the prefetch thread."""
         a = max(0, py - halo)
         b = min(h, py + t + halo)
-
         img_band = fill_nodata_window(
             lambda y0, y1: img_r.read_rows(y0, y1).astype(np.float32),
             (h, w), a, b, nv, tile_size=1024, border=128, max_fill_area=8,
             method=fill_method, workers=cfg.fill_workers,
         )
         dem_band = lr_band(a, b)
-
-        # assemble padded band: rows [py - halo, py + t + halo), full width
         band_img = np.full((g.slab, new_w), nv, np.float32)
         band_dem = np.full((g.slab, new_w), nv, np.float32)
         r0 = a - (py - halo)   # offset of first real row inside the band
         band_img[r0 : r0 + (b - a), halo : halo + w] = img_band
         band_dem[r0 : r0 + (b - a), halo : halo + w] = dem_band
-        del img_band, dem_band
+        return band_img, band_dem
 
-        mean_row = np.full((t, w), nv, np.float32)
-        std_row = np.full((t, w), nv, np.float32)
-        good_row = np.zeros((t, w), np.uint8)
-        hh = min(t, h - py)
+    def write_band(mean_row, std_row, good_row, hh):
+        writers["mean"].write_rows(mean_row[:hh])
+        writers["std"].write_rows(std_row[:hh])
+        writers["good"].write_rows(good_row[:hh].astype(np.uint16))
 
-        def provider(px, py_real):
-            return (band_img[:, px : px + g.slab],
-                    band_dem[:, px : px + g.slab])
+    # Three-stage band pipeline: while the device runs band i's tiles, the
+    # prefetch thread preps band i+1 (ortho fill + LR taps + slab assembly)
+    # and the writer thread LZW-compresses band i-1's output strips.  The
+    # single-worker write pool preserves strip order; only one write is in
+    # flight so a failure surfaces within a band.
+    import concurrent.futures
 
-        def commit(px, py_real, out):
-            mean_t, std_t, good_t = out
-            ww = min(t, w - px)
-            mean_row[:hh, px : px + ww] = np.asarray(mean_t)[:hh, :ww]
-            std_row[:hh, px : px + ww] = np.asarray(std_t)[:hh, :ww]
-            good_row[:hh, px : px + ww] = np.asarray(good_t)[:hh, :ww]
+    prep_pool = concurrent.futures.ThreadPoolExecutor(1)
+    write_pool = concurrent.futures.ThreadPoolExecutor(1)
+    write_fut = None
+    try:
+        prep_fut = prep_pool.submit(prep_band, bands[0]) if bands else None
+        for bi, py in enumerate(bands):
+            band_img, band_dem = prep_fut.result()
+            prep_fut = (prep_pool.submit(prep_band, bands[bi + 1])
+                        if bi + 1 < len(bands) else None)
 
-        tiles = [(px, py) for px in tiles_x if px < w]
-        engine.run_tiles_serial(tiles, commit, progress=False,
-                                slab_provider=provider)
-        n_tiles += len(tiles)
-        if writers:
-            writers["mean"].write_rows(mean_row[:hh])
-            writers["std"].write_rows(std_row[:hh])
-            writers["good"].write_rows(good_row[:hh].astype(np.uint16))
-        if progress:
-            print(f"tile row {py // t + 1}/{n_rows_tiles}", flush=True)
+            mean_row = np.full((t, w), nv, np.float32)
+            std_row = np.full((t, w), nv, np.float32)
+            good_row = np.zeros((t, w), np.uint8)
+            hh = min(t, h - py)
+
+            def provider(px, py_real, _img=band_img, _dem=band_dem):
+                return (_img[:, px : px + g.slab],
+                        _dem[:, px : px + g.slab])
+
+            def commit(px, py_real, out, _m=mean_row, _s=std_row,
+                       _g=good_row, _hh=hh):
+                mean_t, std_t, good_t = out
+                ww = min(t, w - px)
+                _m[:_hh, px : px + ww] = np.asarray(mean_t)[:_hh, :ww]
+                _s[:_hh, px : px + ww] = np.asarray(std_t)[:_hh, :ww]
+                _g[:_hh, px : px + ww] = np.asarray(good_t)[:_hh, :ww]
+
+            tiles = [(px, py) for px in tiles_x if px < w]
+            engine.run_tiles_serial(tiles, commit, progress=False,
+                                    slab_provider=provider)
+            n_tiles += len(tiles)
+            if writers:
+                if write_fut is not None:
+                    write_fut.result()
+                write_fut = write_pool.submit(write_band, mean_row, std_row,
+                                              good_row, hh)
+            if progress:
+                print(f"tile row {bi + 1}/{n_rows_tiles} (y={py})",
+                      flush=True)
+        if write_fut is not None:
+            write_fut.result()
+            write_fut = None
+    except BaseException:
+        # Release handles without TiffStreamWriter.close()'s row-count
+        # check: a half-written map is expected on error, and raising the
+        # "wrote N rows" ValueError here would mask the original exception.
+        for wr in writers.values():
+            wr.f.close()
+        img_r.close()
+        dem_r.close()
+        raise
+    finally:
+        prep_pool.shutdown(wait=False, cancel_futures=True)
+        write_pool.shutdown(wait=True)
 
     t_tiles = time.time() - t1
     t2 = time.time()
+    synth.join()
     for wr in writers.values():
         wr.close()
     img_r.close()
     dem_r.close()
+    if sharded and cfg.save_path:
+        from moonsuperresolution_tpu.infer.merge import (
+            write_streaming_shard_manifest,
+        )
+
+        write_streaming_shard_manifest(
+            cfg.save_path, cfg.map_name, shard_index, num_shards, bands,
+            (h, w), t, nv, engine.geo_transform, engine.projection,
+        )
     t_save = time.time() - t2
 
     n_patches = n_tiles * g.grid ** 2
@@ -199,4 +263,6 @@ def process_map_streaming(engine, progress: bool = True,
         "save_s": t_save,
         "patches_per_s": n_patches / max(t_tiles, 1e-9),
         "streaming": True,
+        "shard_index": shard_index,
+        "num_shards": num_shards,
     }

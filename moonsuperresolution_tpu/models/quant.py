@@ -25,6 +25,7 @@ SPADE fused into one int8 conv like the bf16 path.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -60,8 +61,11 @@ def _qconv(x: jnp.ndarray, qk: jnp.ndarray, w_scale: jnp.ndarray,
     if s_x is None:
         xq, s_x = _quant_act_per_tensor(x)
         if record is not None:
-            prev = record.get(site, 0.0)
-            record[site] = max(prev, float(s_x))
+            # Traced recording: the calibration forward runs under jit (one
+            # compiled program; the old eager per-conv float() readbacks
+            # took tens of minutes on CPU) and returns the scale dict.
+            prev = record.get(site)
+            record[site] = s_x if prev is None else jnp.maximum(prev, s_x)
     else:
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
                       -127, 127).astype(jnp.int8)
@@ -208,21 +212,23 @@ class QuantizedSpadeGenerator:
 
     def calibrate(self, qparams, latent: jnp.ndarray, source: jnp.ndarray,
                   margin: float = 1.05) -> dict:
-        """One (or more, via repeated calls on the returned tree) eager
+        """One (or more, via repeated calls on the returned tree) jitted
         forward recording each conv input's dynamic scale; returns qparams
         with ``act_scales`` added.  With static scales the per-conv max
         reduction disappears from the compiled program (the clip handles
         rare saturation).  Calibration inputs should span the expected
         range — engine inputs are per-patch min-max normalized to
         [-0.5, 0.5], so ranges are stable across real data."""
-        record = dict(qparams.get("act_scales", {}))
-        for k in record:
-            record[k] = float(record[k]) / margin  # un-margin previous
-        self.apply({k: v for k, v in qparams.items() if k != "act_scales"},
-                   latent, source, _record=record)
+        base = {k: v for k, v in qparams.items() if k != "act_scales"}
+        rec = _calibration_scales(self, base, latent, source)
+        rec = {k: float(v) for k, v in rec.items()}
+        prev = {k: float(v) / margin  # un-margin previous records
+                for k, v in qparams.get("act_scales", {}).items()}
+        merged = {k: max(rec.get(k, 0.0), prev.get(k, 0.0))
+                  for k in set(rec) | set(prev)}
         return dict(qparams,
                     act_scales={k: jnp.float32(v * margin)
-                                for k, v in record.items()})
+                                for k, v in merged.items()})
 
     def apply(self, qparams, latent: jnp.ndarray,
               source: jnp.ndarray, _record=None) -> jnp.ndarray:
@@ -251,3 +257,13 @@ class QuantizedSpadeGenerator:
         x = jax.nn.leaky_relu(x, 0.2)
         x = _conv_bf16(x, qparams["head"]["kernel"], qparams["head"]["bias"])
         return x.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _calibration_scales(qgen: QuantizedSpadeGenerator, base_params,
+                        latent: jnp.ndarray, source: jnp.ndarray) -> dict:
+    """One compiled dynamic-scale forward; returns {site: max |x|/127}.
+    (qgen is a frozen dataclass, so it hashes as a static argument.)"""
+    record = {}
+    qgen.apply(base_params, latent, source, _record=record)
+    return record

@@ -31,7 +31,14 @@ def _checkpointer():
 
 
 def save_checkpoint(path: str, state: Any) -> None:
-    """Save a full train-state pytree (params + opt states + step)."""
+    """Save a full train-state pytree (params + opt states + step).
+
+    Multi-process runs: this is a *collective* — Orbax's Checkpointer.save
+    runs sync_global_processes barriers internally, so every process must
+    call it (host numpy values are written by the primary process only;
+    sharded jax.Arrays write their addressable shards from each process).
+    Pinned by tests/test_distributed.py's save->restore->resume round trip.
+    """
     _checkpointer().save(os.path.abspath(path), state, force=True)
 
 

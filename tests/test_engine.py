@@ -204,6 +204,41 @@ class TestStreamingEngine:
         np.testing.assert_allclose(maps["std"][0][cov], maps["std"][1][cov],
                                    atol=0.02)
 
+    def test_sharded_streaming_merges_bit_exact(self, tmp_path, rng):
+        """2-shard streaming run + stream-merge == single streaming run,
+        bit-exact (tiles are computed independently with per-tile keys)."""
+        from moonsuperresolution_tpu.infer.merge import merge_shards_streaming
+
+        td = str(tmp_path)
+        _synthetic_pair(td, rng, h=296, w=420, holes=True)
+        out_single = os.path.join(td, "single")
+        out_sh = os.path.join(td, "sh")
+
+        def mk(save_path):
+            return DSRConfig(image_size=64, stride=8, batch_size=32,
+                             tile_size=128, source_folder_path=td,
+                             map_name="toy", save_path=save_path)
+
+        single = DEMSuperResolution(mk(out_single), model=None)
+        single.process_map_streaming(progress=False)
+
+        stats = []
+        for i in range(2):
+            eng = DEMSuperResolution(mk(out_sh), model=None)
+            stats.append(eng.process_map_streaming(
+                progress=False, shard_index=i, num_shards=2))
+        # 296 px / 128-px tile rows = 3 bands -> shard 0 gets 2, shard 1 gets 1
+        assert stats[0]["tiles"] + stats[1]["tiles"] == 3 * (420 // 128 + 1)
+        out = merge_shards_streaming(out_sh, "toy", expect_shards=2)
+        assert out["bands"] == 3
+
+        for k in ("mean", "std", "good"):
+            a = read_geotiff(os.path.join(out_single, f"toy_{k}.tiff"))
+            b = read_geotiff(os.path.join(out_sh, f"toy_{k}.tiff"))
+            assert a.geo_transform == b.geo_transform
+            assert a.projection == b.projection
+            np.testing.assert_array_equal(a.data, b.data)
+
     def test_matches_in_ram_with_holes(self, tmp_path, rng):
         maps = self._run_both(tmp_path, rng, holes=True)
         good_a, good_b = maps["good"]

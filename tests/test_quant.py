@@ -126,3 +126,63 @@ def test_engine_int8_load(tmp_path, gen_and_params):
     span = out_f.max() - out_f.min()
     rel = np.sqrt(np.mean((out_q - out_f) ** 2)) / max(span, 1e-9)
     assert rel < 0.03, rel
+
+
+def test_engine_real_patch_calibration(tmp_path):
+    """int8_static re-calibrates its activation scales on REAL patches from
+    the target raster before the first tile (ADVICE r2: synthetic-noise
+    scales can clip structured activations).  The engine side is tested
+    with a stand-in model exposing ``calibrate_on`` — int8 conv execution
+    on XLA:CPU is ~100x slower than f32, so driving the real int8 engine
+    here would take tens of minutes; the int8 ``calibrate()`` semantics
+    themselves are pinned by the direct tests above, and the real
+    int8_static load path runs on TPU via bench.py / the full-map bench."""
+    import os
+
+    from moonsuperresolution_tpu.config import DSRConfig
+    from moonsuperresolution_tpu.geo import write_geotiff
+    from moonsuperresolution_tpu.infer.engine import DEMSuperResolution
+
+    cv2 = pytest.importorskip("cv2")
+
+    rng = np.random.default_rng(0)
+    h, w = 200, 260
+    dem = cv2.resize(rng.standard_normal((5, 7)).astype(np.float32),
+                     (w, h), interpolation=cv2.INTER_CUBIC) * 100 + 1500
+    ort = (cv2.resize(rng.standard_normal((10, 13)).astype(np.float32),
+                      (w, h), interpolation=cv2.INTER_CUBIC) * 40 + 128
+           ).clip(1, 255)
+    dem[40:44, 50:54] = -32768.0  # a hole: some patches invalid
+    td = str(tmp_path)
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    write_geotiff(os.path.join(td, "run-DEM.tif"), dem, gt, "P", -32768.0)
+    write_geotiff(os.path.join(td, "run-DRG.tif"), ort, gt, "P", -32768.0)
+
+    calls = []
+
+    def fake_model(params, source, rng_):
+        return source[..., 1]
+
+    def calibrate_on(params, batch):
+        calls.append(np.asarray(batch))
+        return dict(params, calibrated=np.float32(1.0))
+
+    fake_model.calibrate_on = calibrate_on
+
+    cfg = DSRConfig(image_size=IMG, stride=8, batch_size=16, tile_size=128,
+                    source_folder_path=td, map_name="t", save_path=None)
+    eng = DEMSuperResolution(cfg, model=fake_model, model_params={})
+    eng.process_map(progress=False)
+
+    # invoked exactly once, before any tile, with real normalized patches
+    assert len(calls) == 1
+    assert getattr(eng, "_calibrated", False)
+    batch = calls[0]
+    assert batch.ndim == 4 and batch.shape[-1] == 2 and 1 <= len(batch) <= 8
+    assert batch.shape[1:3] == (IMG, IMG)
+    # per-patch min-max normalization to [-0.5, 0.5], no nodata inside
+    for p in batch:
+        for c in range(2):
+            assert np.isclose(p[..., c].min(), -0.5, atol=1e-5)
+            assert np.isclose(p[..., c].max(), 0.5, atol=1e-5)
+    assert "calibrated" in eng.model_params
