@@ -61,7 +61,9 @@ def main():
         from moonsuperresolution_tpu.models.networks import sample_latent
         from moonsuperresolution_tpu.models.quant import QuantizedSpadeGenerator
 
-        qgen = QuantizedSpadeGenerator(image_size=image_size)
+        qgen = QuantizedSpadeGenerator(
+            image_size=image_size,
+            acc_dtype=os.environ.get("BENCH_INT8_ACC", "bfloat16"))
         qg = qgen.quantize(params["generator"])
         if quant == "int8_static":
             rng_c = np.random.default_rng(0)

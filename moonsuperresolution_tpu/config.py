@@ -36,6 +36,13 @@ class ModelConfig:
     # The reference is inconsistent here (sampler uses 16, GauGAN's
     # ConsistencyLoss defaults to 10 — SURVEY.md §0.6).  We standardize on 16.
     upscaling_factor: int = 16
+    # Generator SPADE-resblock channel plan (reference: networks.py:44-50)
+    # and encoder/discriminator base widths (networks.py:8-34, 60-76).
+    # Defaults reproduce the reference; smaller plans give scaled-down
+    # variants (and fast-compiling models for multi-process tests).
+    channel_plan: tuple = (1024, 1024, 1024, 512, 256, 128)
+    encoder_filters: int = 64
+    disc_filters: int = 64
     # Compute dtype for conv/matmul activations ("float32" or "bfloat16").
     compute_dtype: str = "float32"
     # Dtype for SPADE normalization statistics; float32 for training,

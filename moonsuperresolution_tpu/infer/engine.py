@@ -56,6 +56,7 @@ def load_model_fn(
     latent_dim: int = 256,
     compute_dtype: str = "bfloat16",
     quantize: str = "none",
+    int8_acc: str = "bfloat16",
 ):
     """Build the patch-batch model callable.
 
@@ -95,7 +96,12 @@ def load_model_fn(
             QuantizedSpadeGenerator,
         )
 
-        qgen = QuantizedSpadeGenerator(image_size=image_size)
+        # int8_acc="bfloat16" materializes conv results as bf16 (the MXU
+        # accumulator stays wide): halves the conv-output write + dequant
+        # read HBM traffic, which bounds the int8 path.  "int32" is the
+        # exact mode (deviation bounds: tests/test_quant.py).
+        qgen = QuantizedSpadeGenerator(image_size=image_size,
+                                       acc_dtype=int8_acc)
         qg = qgen.quantize(params["generator"])
 
         def _calibrate(qparams, src_batch, seed: int, margin: float = 1.05):

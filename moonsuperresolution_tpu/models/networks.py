@@ -92,9 +92,13 @@ class SpadeGenerator(nn.Module):
         sw = self.image_size // 2**6
         if sw < 1:
             raise ValueError(f"image_size {self.image_size} too small (needs >= 64)")
-        x = nn.Dense(16 * sw * sw * 64, kernel_init=glorot_uniform,
+        # Reference: Dense(16*sw*sw*64) reshaped to (sw, sw, 1024)
+        # (networks.py:44-46); with a custom channel plan the initial width
+        # follows plan[0].
+        c0 = self.channel_plan[0]
+        x = nn.Dense(sw * sw * c0, kernel_init=glorot_uniform,
                      dtype=self.dtype, name="dense")(latent.astype(self.dtype))
-        x = x.reshape(-1, sw, sw, 1024)
+        x = x.reshape(-1, sw, sw, c0)
         sdt = (jnp.bfloat16 if self.stats_dtype in ("bfloat16", jnp.bfloat16)
                else jnp.float32)
         from moonsuperresolution_tpu.models.layers import spade_moments

@@ -54,10 +54,18 @@ def _quant_act_per_tensor(x: jnp.ndarray):
 
 def _qconv(x: jnp.ndarray, qk: jnp.ndarray, w_scale: jnp.ndarray,
            bias: jnp.ndarray, out_dtype=jnp.bfloat16,
-           s_x=None, record=None, site: str = "") -> jnp.ndarray:
+           s_x=None, record=None, site: str = "",
+           acc_dtype=jnp.int32) -> jnp.ndarray:
     """int8 conv: quantize x (dynamic, or with the calibrated static scale
-    ``s_x`` — which removes the per-tensor max reduction), s8xs8->s32 conv,
-    dequantize."""
+    ``s_x`` — which removes the per-tensor max reduction), s8xs8 conv,
+    dequantize.
+
+    ``acc_dtype`` picks the conv *output* element type.  int32 is exact;
+    bfloat16 halves the conv-result write traffic plus the dequant read
+    traffic (the accumulator itself stays wide inside the MXU; only the
+    HBM materialization is rounded).  The rounding adds ~2^-9 relative
+    error to activations that already carry ~0.5% quantization noise —
+    bounded by tests/test_quant.py."""
     if s_x is None:
         xq, s_x = _quant_act_per_tensor(x)
         if record is not None:
@@ -73,7 +81,7 @@ def _qconv(x: jnp.ndarray, qk: jnp.ndarray, w_scale: jnp.ndarray,
                                         ("NHWC", "HWIO", "NHWC"))
     acc = jax.lax.conv_general_dilated(
         xq, qk, (1, 1), "SAME", dimension_numbers=dn,
-        preferred_element_type=jnp.int32,
+        preferred_element_type=acc_dtype,
     )
     y = acc.astype(jnp.float32) * (s_x * w_scale) + bias
     return y.astype(out_dtype)
@@ -124,6 +132,10 @@ class QuantizedSpadeGenerator:
     channel_plan: tuple = (1024, 1024, 1024, 512, 256, 128)
     epsilon: float = 1e-5
     dtype: Any = jnp.bfloat16
+    # Conv-output element type ("int32" exact | "bfloat16" halves the
+    # conv-result HBM write + dequant read traffic).  String, so the frozen
+    # dataclass stays hashable as a jit static argument.
+    acc_dtype: str = "int32"
 
     # ------------------------------------------------------------- quantize
 
@@ -156,6 +168,10 @@ class QuantizedSpadeGenerator:
 
     # -------------------------------------------------------------- forward
 
+    @property
+    def _acc(self):
+        return jnp.bfloat16 if self.acc_dtype == "bfloat16" else jnp.int32
+
     def _spade(self, qs, x, mask, normalized=None, scales=None,
                record=None, site: str = ""):
         mask = resize_nearest(mask, (x.shape[1], x.shape[2]))
@@ -165,7 +181,7 @@ class QuantizedSpadeGenerator:
         gb = _qconv(h, qs["gb"]["kernel"], qs["gb"]["scale"],
                     qs["gb"]["bias"], out_dtype=self.dtype,
                     s_x=None if scales is None else scales[site],
-                    record=record, site=site)
+                    record=record, site=site, acc_dtype=self._acc)
         f = gb.shape[-1] // 2
         gamma, beta = gb[..., :f], gb[..., f:]
         if normalized is None:
@@ -190,13 +206,13 @@ class QuantizedSpadeGenerator:
         h = _qconv(lrelu(h), qb["conv_1"]["kernel"], qb["conv_1"]["scale"],
                    qb["conv_1"]["bias"], out_dtype=self.dtype,
                    s_x=s(f"{prefix}.conv_1"), record=record,
-                   site=f"{prefix}.conv_1")
+                   site=f"{prefix}.conv_1", acc_dtype=self._acc)
         h = self._spade(qb["spade_2"], h, mask, scales=scales, record=record,
                         site=f"{prefix}.spade_2")
         h = _qconv(lrelu(h), qb["conv_2"]["kernel"], qb["conv_2"]["scale"],
                    qb["conv_2"]["bias"], out_dtype=self.dtype,
                    s_x=s(f"{prefix}.conv_2"), record=record,
-                   site=f"{prefix}.conv_2")
+                   site=f"{prefix}.conv_2", acc_dtype=self._acc)
         if "conv_3" in qb:
             skip = self._spade(qb["spade_3"], x, mask,
                                normalized=input_normalized, scales=scales,
@@ -205,7 +221,7 @@ class QuantizedSpadeGenerator:
                           qb["conv_3"]["scale"], qb["conv_3"]["bias"],
                           out_dtype=self.dtype,
                           s_x=s(f"{prefix}.conv_3"), record=record,
-                          site=f"{prefix}.conv_3")
+                          site=f"{prefix}.conv_3", acc_dtype=self._acc)
         else:
             skip = x
         return skip + h
@@ -236,7 +252,7 @@ class QuantizedSpadeGenerator:
         x = (latent.astype(self.dtype)
              @ jnp.asarray(qparams["dense"]["kernel"], self.dtype)
              + jnp.asarray(qparams["dense"]["bias"], self.dtype))
-        x = x.reshape(-1, sw, sw, 1024)
+        x = x.reshape(-1, sw, sw, self.channel_plan[0])
         source = source.astype(self.dtype)
         from moonsuperresolution_tpu.models.layers import spade_moments
         from moonsuperresolution_tpu.models.networks import upsample2x_nearest

@@ -79,13 +79,16 @@ class GauGANTrainer:
         dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32
         sdtype = jnp.bfloat16 if m.stats_dtype == "bfloat16" else jnp.float32
         self.encoder = Encoder(latent_dim=m.latent_dim, alpha=m.alpha,
+                               downsample_factor=m.encoder_filters,
                                dtype=dtype)
         self.generator = SpadeGenerator(
             image_size=m.image_size, alpha=m.alpha, stats=m.spade_stats,
+            channel_plan=tuple(m.channel_plan),
             dtype=dtype, stats_dtype=sdtype,
             fuse_spade_gb=m.fuse_spade_gb,
         )
-        self.discriminator = SpadeDiscriminator(alpha=m.alpha, dtype=dtype)
+        self.discriminator = SpadeDiscriminator(
+            downsample_factor=m.disc_filters, alpha=m.alpha, dtype=dtype)
 
         o = cfg.optimizer
         self.gen_tx = _adam(o.gen_lr, o.beta1, o.beta2, o.eps)

@@ -98,7 +98,9 @@ def main():
         from moonsuperresolution_tpu.models.quant import (
             QuantizedSpadeGenerator)
 
-        qgen = QuantizedSpadeGenerator(image_size=a.image_size)
+        qgen = QuantizedSpadeGenerator(
+            image_size=a.image_size,
+            acc_dtype=os.environ.get("BENCH_INT8_ACC", "bfloat16"))
         qg = qgen.quantize(params["generator"])
         if a.quantize == "int8_static":
             import jax.numpy as jnp

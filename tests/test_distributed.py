@@ -96,7 +96,13 @@ from moonsuperresolution_tpu.utils.checkpoint import (
 )
 
 cfg = TrainConfig(
-    model=ModelConfig(variant="cnn_spade", image_size=64, latent_dim=16),
+    # Tiny channel plan: the test validates multi-host *plumbing* (global
+    # mesh, data shards, cross-process psum, collective checkpoint), not
+    # model scale — the reference-width plan made two concurrent XLA
+    # compiles blow past the test timeout on small CI hosts.
+    model=ModelConfig(variant="cnn_spade", image_size=64, latent_dim=16,
+                      channel_plan=(32, 32, 32, 16, 16, 8),
+                      encoder_filters=8, disc_filters=8),
     batch_size=8,
 )
 tr = GauGANTrainer(cfg)
@@ -167,8 +173,8 @@ def _launch_workers(tmp_path, source, extra_args=()):
 def test_two_process_train_step_and_checkpoint(tmp_path):
     """One real ``GauGANTrainer.train_step`` across 2 processes x 4 devices,
     metrics matching the single-process step, plus a multi-host Orbax
-    save -> restore -> resume round trip (VERDICT r2 item 4).  Slow: two
-    concurrent XLA compiles of the full step on this host (~4-6 min)."""
+    save -> restore -> resume round trip (VERDICT r2 item 4).  Slowish: two
+    concurrent XLA compiles of the (tiny-plan) step."""
     import json
 
     import numpy as np
@@ -205,7 +211,9 @@ def test_two_process_train_step_and_checkpoint(tmp_path):
     from moonsuperresolution_tpu.train.trainers import GauGANTrainer
 
     cfg = TrainConfig(
-        model=ModelConfig(variant="cnn_spade", image_size=64, latent_dim=16),
+        model=ModelConfig(variant="cnn_spade", image_size=64, latent_dim=16,
+                          channel_plan=(32, 32, 32, 16, 16, 8),
+                          encoder_filters=8, disc_filters=8),
         batch_size=8,
     )
     tr = GauGANTrainer(cfg)

@@ -65,6 +65,27 @@ def test_int8_generator_close_to_f32(gen_and_params):
     assert not np.array_equal(out, ref)
 
 
+def test_int8_bf16_acc_close_to_int32_acc(gen_and_params):
+    """acc_dtype="bfloat16" (conv results materialized bf16 — the production
+    speed mode) must stay close to the exact int32-accumulator path AND
+    within the same overall bound vs the f32 reference."""
+    gen, params, z, src = gen_and_params
+    ref = np.asarray(gen.apply({"params": params}, z, src))
+
+    q32 = QuantizedSpadeGenerator(image_size=IMG, dtype=jnp.float32)
+    qbf = QuantizedSpadeGenerator(image_size=IMG, dtype=jnp.float32,
+                                  acc_dtype="bfloat16")
+    qparams = q32.quantize(params)
+    out32 = np.asarray(jax.jit(q32.apply)(qparams, z, src))
+    outbf = np.asarray(jax.jit(qbf.apply)(qparams, z, src))
+
+    span = ref.max() - ref.min()
+    rel_vs_int32 = np.sqrt(np.mean((outbf - out32) ** 2)) / max(span, 1e-9)
+    rel_vs_ref = np.sqrt(np.mean((outbf - ref) ** 2)) / max(span, 1e-9)
+    assert rel_vs_int32 < 0.01, rel_vs_int32
+    assert rel_vs_ref < 0.02, rel_vs_ref
+
+
 def test_int8_deterministic(gen_and_params):
     gen, params, z, src = gen_and_params
     qgen = QuantizedSpadeGenerator(image_size=IMG, dtype=jnp.float32)
