@@ -12,12 +12,16 @@ the production SLURM config must finish <= 547,515 patch forwards
 V100 allocation => >= 25.35 patches/sec implied.  ``vs_baseline`` is
 measured throughput over that implied rate.
 
-Prints ONE JSON line (plus FLOPs/MFU fields so the number is reproducible:
-model_gflops_per_patch is the XLA cost analysis of one generator+encoder
-forward divided by the batch, mfu is measured FLOP/s over the v5e bf16 peak
-of 197 TFLOP/s).  Env knobs: BENCH_SMALL=1 (tiny config for CPU),
-BENCH_BATCH, BENCH_TILES, BENCH_QUANT=int8 (quantized generator;
-mfu is then reported against the 394 TOPS int8 peak).
+Prints ONE JSON line.  Both production modes are measured: the bf16
+fidelity path (the headline ``value``, comparable across rounds) and the
+calibrated-int8 speed path (``int8_static_*`` fields; MFU against the v5e
+int8 394 TOPS peak).  FLOPs come from XLA cost analysis of one
+generator+encoder forward so the numbers are reproducible.
+
+Env knobs: BENCH_SMALL=1 (tiny config for CPU), BENCH_BATCH, BENCH_TILES,
+BENCH_QUANT=none|int8|int8_static (restrict to ONE mode — old behavior;
+the restricted mode then provides the headline value), BENCH_INT8_ACC
+(int8 conv-output dtype, default bfloat16), BENCH_PALLAS, BENCH_UNROLL.
 """
 
 from __future__ import annotations
@@ -35,28 +39,14 @@ V5E_BF16_PEAK = 197e12
 V5E_INT8_PEAK = 394e12
 
 
-def main():
-    small = os.environ.get("BENCH_SMALL") == "1"
-    quant = os.environ.get("BENCH_QUANT", "none")
-    image_size = 128 if small else 512
-    stride = image_size // 8
-    tile_size = 256 if small else 1024
-    batch = int(os.environ.get("BENCH_BATCH", 4 if small else 16))
-    n_tiles = int(os.environ.get("BENCH_TILES", 2 if small else 4))
-
-    from moonsuperresolution_tpu.config import DSRConfig, ModelConfig, TrainConfig
+def measure(quant: str, trainer, base_params, image_size: int, stride: int,
+            tile_size: int, batch: int, n_tiles: int) -> dict:
+    """Build the inference engine for one quantization mode and time the
+    production tile loop.  Returns {patches_per_s, gflops_per_patch, mfu}."""
+    from moonsuperresolution_tpu.config import DSRConfig
     from moonsuperresolution_tpu.infer.engine import DEMSuperResolution
-    from moonsuperresolution_tpu.train.trainers import GauGANTrainer
 
-    cfg = TrainConfig(
-        model=ModelConfig(variant="gaugan", image_size=image_size,
-                          latent_dim=256, compute_dtype="bfloat16"),
-        batch_size=batch,
-    )
-    trainer = GauGANTrainer(cfg)
-    params = trainer.init(jax.random.PRNGKey(0)).params
-    params = {"generator": params["generator"], "encoder": params["encoder"]}
-
+    params = dict(base_params)
     if quant in ("int8", "int8_static"):
         from moonsuperresolution_tpu.models.networks import sample_latent
         from moonsuperresolution_tpu.models.quant import QuantizedSpadeGenerator
@@ -81,10 +71,12 @@ def main():
                 {"params": p["encoder"]}, source)
             z = sample_latent(rng, mean, logvar)
             return qgen.apply(p["generator"], z, source)[..., 0]
-    else:
+    elif quant == "none":
         def model_fn(p, source, rng):
             fake, _, _ = trainer._generate(p, source, rng)
             return fake[..., 0]
+    else:
+        raise ValueError(f"unknown BENCH_QUANT mode {quant!r}")
 
     # FLOPs of one model forward (batch of `batch`), from XLA cost analysis.
     def flops_per_patch():
@@ -99,6 +91,7 @@ def main():
         except Exception:
             return 0.0
 
+    small = image_size < 512
     use_pallas = os.environ.get("BENCH_PALLAS", "1" if not small else "0")
     dsr_cfg = DSRConfig(image_size=image_size, stride=stride,
                         batch_size=batch, tile_size=tile_size,
@@ -138,16 +131,61 @@ def main():
     gflops = flops_per_patch() / 1e9
     peak = V5E_INT8_PEAK if quant.startswith("int8") else V5E_BF16_PEAK
     mfu = pps * gflops * 1e9 / peak if gflops else 0.0
+    return {"patches_per_s": round(pps, 2),
+            "gflops_per_patch": round(gflops, 1),
+            "mfu": round(mfu, 4)}
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL") == "1"
+    image_size = 128 if small else 512
+    stride = image_size // 8
+    tile_size = 256 if small else 1024
+    batch = int(os.environ.get("BENCH_BATCH", 4 if small else 16))
+    n_tiles = int(os.environ.get("BENCH_TILES", 2 if small else 4))
+
+    from moonsuperresolution_tpu.config import ModelConfig, TrainConfig
+    from moonsuperresolution_tpu.train.trainers import GauGANTrainer
+
+    cfg = TrainConfig(
+        model=ModelConfig(variant="gaugan", image_size=image_size,
+                          latent_dim=256, compute_dtype="bfloat16"),
+        batch_size=batch,
+    )
+    trainer = GauGANTrainer(cfg)
+    params = trainer.init(jax.random.PRNGKey(0)).params
+    base_params = {"generator": params["generator"],
+                   "encoder": params["encoder"]}
+
+    forced = os.environ.get("BENCH_QUANT")
+    # Default: measure both production modes (bf16 fidelity headline +
+    # calibrated int8 speed mode); BENCH_QUANT restricts to one.
+    modes = [forced] if forced else ["none", "int8_static"]
+    res = {q: measure(q, trainer, base_params, image_size, stride,
+                      tile_size, batch, n_tiles) for q in modes}
+
+    head_q = forced or "none"
+    head = res[head_q]
     result = {
         "metric": f"sr_patches_per_sec_{image_size}",
-        "value": round(pps, 2),
+        "value": head["patches_per_s"],
         "unit": "patches/s",
-        "vs_baseline": round(pps / BASELINE_PATCHES_PER_SEC, 2),
-        "model_gflops_per_patch": round(gflops, 1),
-        "mfu": round(mfu, 4),
-        "mfu_peak": "int8_394T" if quant.startswith("int8") else "bf16_197T",
-        "quantize": quant,
+        "vs_baseline": round(head["patches_per_s"]
+                             / BASELINE_PATCHES_PER_SEC, 2),
+        "model_gflops_per_patch": head["gflops_per_patch"],
+        "mfu": head["mfu"],
+        "mfu_peak": ("int8_394T" if head_q.startswith("int8")
+                     else "bf16_197T"),
+        "quantize": head_q,
     }
+    if "int8_static" in res and head_q == "none":
+        i8 = res["int8_static"]
+        result.update({
+            "int8_static_patches_per_s": i8["patches_per_s"],
+            "int8_static_vs_baseline": round(
+                i8["patches_per_s"] / BASELINE_PATCHES_PER_SEC, 2),
+            "int8_static_mfu_394T": i8["mfu"],
+        })
     print(json.dumps(result))
 
 

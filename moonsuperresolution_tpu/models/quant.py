@@ -264,7 +264,8 @@ class QuantizedSpadeGenerator:
                                input_normalized=x_hat_up, scales=scales,
                                record=_record, prefix=f"r{i}")
             # pre-upsample moments + normalization, same trick as
-            # models/networks.py::SpadeGenerator (bitwise identical)
+            # models/networks.py::SpadeGenerator (mathematically identical;
+            # f32 accumulation order differs, so equality is within ulps)
             xs = x.astype(jnp.float32)
             mean, var = spade_moments(xs, self.stats)
             x_hat = (xs - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
