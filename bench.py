@@ -158,6 +158,10 @@ def main():
                    "encoder": params["encoder"]}
 
     forced = os.environ.get("BENCH_QUANT")
+    if forced == "":
+        raise ValueError(
+            "BENCH_QUANT is set but empty; use none|int8|int8_static "
+            "or unset it to measure both production modes")
     # Default: measure both production modes (bf16 fidelity headline +
     # calibrated int8 speed mode); BENCH_QUANT restricts to one.
     modes = [forced] if forced else ["none", "int8_static"]
@@ -186,7 +190,44 @@ def main():
                 i8["patches_per_s"] / BASELINE_PATCHES_PER_SEC, 2),
             "int8_static_mfu_394T": i8["mfu"],
         })
+    if not small and not forced:
+        check_regression(result)
     print(json.dumps(result))
+
+
+def check_regression(result: dict, threshold: float = 0.03) -> None:
+    """Perf tripwire: compare this run against the newest committed
+    BENCH_r*.json and flag >=3% drops on the headline value or the int8
+    throughput so a slide can't compound silently across rounds.  The
+    verdict goes into the JSON line (``regression_vs`` fields) AND stderr;
+    it never fails the bench (noise vs. real regressions is a human call,
+    but the diff must be in the record)."""
+    import glob
+    import re
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    recs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                  key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    if not recs:
+        return
+    prev_path = recs[-1]
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f).get("parsed", {})
+    except Exception:
+        return
+    flags = {}
+    for key in ("value", "int8_static_patches_per_s"):
+        old, new = prev.get(key), result.get(key)
+        if old and new and new < old * (1.0 - threshold):
+            flags[key] = {"prev": old, "now": new,
+                          "drop_pct": round(100 * (1 - new / old), 1)}
+    if flags:
+        result["regression_vs"] = os.path.basename(prev_path)
+        result["regression"] = flags
+        print(f"PERF REGRESSION vs {os.path.basename(prev_path)}: {flags}",
+              file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

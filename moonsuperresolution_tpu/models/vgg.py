@@ -81,6 +81,40 @@ def load_keras_vgg19_weights(h5_path: str):
     return params
 
 
+def save_vgg19_npz(params, npz_path: str) -> None:
+    """Save flax VGG19 params as a flat npz (layer/kernel, layer/bias)."""
+    flat = {}
+    for name, p in params.items():
+        flat[f"{name}/kernel"] = np.asarray(p["kernel"])
+        flat[f"{name}/bias"] = np.asarray(p["bias"])
+    np.savez(npz_path, **flat)
+
+
+def load_vgg19_npz(npz_path: str):
+    """Load params written by :func:`save_vgg19_npz`."""
+    with np.load(npz_path) as f:
+        params = {}
+        for b, (n_convs, ch) in enumerate(_BLOCKS):
+            for c in range(n_convs):
+                name = f"block{b + 1}_conv{c + 1}"
+                kernel = f[f"{name}/kernel"]
+                if kernel.shape[-1] != ch:
+                    raise ValueError(
+                        f"{name}: expected {ch} output channels, "
+                        f"got {kernel.shape}")
+                params[name] = {"kernel": jnp.asarray(kernel),
+                                "bias": jnp.asarray(f[f"{name}/bias"])}
+    return params
+
+
+def load_vgg19_params(path: str):
+    """Load pretrained VGG19 params from either a Keras ``.h5`` weight file
+    or a converted ``.npz`` (cli/convert_vgg.py)."""
+    if path.endswith(".npz"):
+        return load_vgg19_npz(path)
+    return load_keras_vgg19_weights(path)
+
+
 def vgg_feature_matching_loss(params, y_true: jnp.ndarray,
                               y_pred: jnp.ndarray) -> jnp.ndarray:
     """Weighted MAE over VGG19 features of caffe-preprocessed inputs

@@ -13,8 +13,10 @@ Projection composition (stated assumptions, no hidden scaling):
   1-core box here, so the projection's host floor uses the measured
   producer-limited wall-clock as an upper bound, not a parallel-host
   estimate.
-- Projected wall = max(tiles_s / 8, measured host-pipeline floor)
-  + preprocess_s + save_s (the un-overlapped tails).
+- Projected wall = tiles_s / 8 + host_exclusive_s.  host_exclusive_s is
+  the measured wall-clock NOT hidden under the tile phase (preprocess
+  head + save tail + any producer stalls) — a conservative sum, since on
+  a real v5e-8 host those phases would also shrink.
 """
 
 from __future__ import annotations
@@ -33,8 +35,12 @@ def main():
     with open(rec_path) as f:
         rec = json.load(f)
 
+    # Replace only a run with the SAME (streaming, quantize) signature —
+    # folding a non-streaming stats file must not delete the streaming
+    # record for that quantize mode (ADVICE r3).
     rec["runs"] = [r for r in rec["runs"]
-                   if not (r.get("streaming") and
+                   if not (bool(r.get("streaming")) ==
+                           bool(stats.get("streaming")) and
                            r.get("quantize") == stats.get("quantize"))]
     rec["runs"].append(stats)
 
@@ -64,7 +70,9 @@ def main():
 
     with open(rec_path, "w") as f:
         json.dump(rec, f, indent=1)
-    print(json.dumps(rec["v5e8_projection_s"], indent=1))
+    proj = rec.get("v5e8_projection_s")
+    if proj is not None:
+        print(json.dumps(proj, indent=1))
 
 
 if __name__ == "__main__":

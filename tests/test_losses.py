@@ -152,3 +152,66 @@ def test_vgg_preprocess():
     out = np.asarray(vgg_preprocess(x))
     want = 127.5 - np.array([103.939, 116.779, 123.68])
     np.testing.assert_allclose(out[0, 0, 0], want, rtol=1e-5)
+
+
+def test_vgg_npz_roundtrip(tmp_path):
+    """save_vgg19_npz -> load_vgg19_params reproduces params and features."""
+    from moonsuperresolution_tpu.models import vgg as V
+
+    params = V.init_vgg_params(seed=3)
+    p = str(tmp_path / "vgg19.npz")
+    V.save_vgg19_npz(params, p)
+    loaded = V.load_vgg19_params(p)
+    for name, lp in params.items():
+        np.testing.assert_array_equal(np.asarray(lp["kernel"]),
+                                      np.asarray(loaded[name]["kernel"]))
+    x = jnp.asarray(np.linspace(-1, 1, 1 * 32 * 32 * 3, dtype=np.float32)
+                    .reshape(1, 32, 32, 3))
+    la = float(V.vgg_feature_matching_loss(params, x, 0.5 * x))
+    lb = float(V.vgg_feature_matching_loss(loaded, x, 0.5 * x))
+    assert np.isclose(la, lb, rtol=1e-6)
+
+
+def test_convert_torch_vgg19(tmp_path):
+    """The torchvision-layout converter maps features.N OIHW tensors onto the
+    right flax layers with HWIO transposition (cli/convert_vgg.py)."""
+    torch = pytest.importorskip("torch")
+    from moonsuperresolution_tpu.cli.convert_vgg import convert_torch_vgg19
+    from moonsuperresolution_tpu.models.vgg import _BLOCKS
+
+    rng = np.random.default_rng(0)
+    sd, idx, cin = {}, 0, 3
+    for b, (n_convs, ch) in enumerate(_BLOCKS):
+        for _c in range(n_convs):
+            sd[f"features.{idx}.weight"] = torch.from_numpy(
+                rng.standard_normal((ch, cin, 3, 3)).astype(np.float32))
+            sd[f"features.{idx}.bias"] = torch.from_numpy(
+                rng.standard_normal((ch,)).astype(np.float32))
+            idx += 2
+            cin = ch
+        idx += 1
+    p = str(tmp_path / "vgg19.pth")
+    torch.save(sd, p)
+    params = convert_torch_vgg19(p)
+    assert params["block1_conv1"]["kernel"].shape == (3, 3, 3, 64)
+    assert params["block5_conv4"]["kernel"].shape == (3, 3, 512, 512)
+    np.testing.assert_allclose(
+        params["block1_conv1"]["kernel"],
+        np.transpose(sd["features.0.weight"].numpy(), (2, 3, 1, 0)))
+
+
+def test_trainer_warns_on_random_vgg():
+    """Random-VGG fallback must be loud at first perceptual-loss access, and
+    silent for inference-only construction (VERDICT r3)."""
+    import warnings
+
+    from moonsuperresolution_tpu.config import ModelConfig, TrainConfig
+    from moonsuperresolution_tpu.train.trainers import GauGANTrainer
+
+    cfg = TrainConfig(model=ModelConfig(variant="cnn_spade", image_size=64,
+                                        latent_dim=16), batch_size=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # construction must NOT warn
+        tr = GauGANTrainer(cfg)
+    with pytest.warns(UserWarning, match="RANDOM conv features"):
+        _ = tr.vgg_params
