@@ -55,6 +55,12 @@ class ModelConfig:
     # unfused convs partition communication-free.  The param tree is
     # identical in both modes (checkpoints interchange freely).
     fuse_spade_gb: bool = True
+    # Compute the generator's final upsample + 4x4 head conv as an exactly-
+    # equivalent subpixel conv at pre-upsample resolution (networks.py::
+    # collapse_head_kernel) — the full-resolution 128-channel activation
+    # never materializes.  Param tree identical; False restores the literal
+    # reference structure.
+    subpixel_head: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

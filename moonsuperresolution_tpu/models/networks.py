@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from moonsuperresolution_tpu.models.layers import (
     DownsampleBlock,
     SpadeResidualBlock,
+    _ConvParams,
     glorot_uniform,
     leaky_relu,
 )
@@ -32,6 +33,58 @@ def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)
+
+
+def collapse_head_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """Fold a 4x4 HWIO kernel over a 2x-nearest-upsampled input into four
+    3x3 phase kernels over the PRE-upsample input: [4,4,C,O] -> [3,3,C,4*O].
+
+    Because nearest upsampling duplicates each coarse pixel 2x2, a SAME 4x4
+    conv at fine resolution reads each output phase (di,dj) from at most 3x3
+    coarse pixels; summing the fine taps that land on the same coarse pixel
+    gives an exactly equivalent 3x3 conv per phase (for XLA/Keras SAME
+    padding of an even kernel, pad lo=1/hi=2, fine tap a maps to coarse
+    offset (2i+di+a-1)//2 - i).  ``subpixel head``: the generator's final
+    upsample+4x4 conv (reference networks.py:55-57) runs at QUARTER spatial
+    resolution with 4x output channels + depth-to-space — the 512^2 x 128
+    activation materialization disappears and the MXU sees one denser
+    matmul.  Exact up to f32 tap-sum rounding (parity-tested).
+    """
+    c, o = k.shape[2], k.shape[3]
+    # di -> ((fine tap a, coarse 3x3 index), ...); index 1 = offset 0.
+    tap = {0: ((0, 0), (1, 1), (2, 1), (3, 2)),
+           1: ((0, 1), (1, 1), (2, 2), (3, 2))}
+    phases = []
+    for di in (0, 1):
+        for dj in (0, 1):
+            acc = jnp.zeros((3, 3, c, o), k.dtype)
+            for ay, by in tap[di]:
+                for ax, bx in tap[dj]:
+                    acc = acc.at[by, bx].add(k[ay, ax])
+            phases.append(acc)
+    return jnp.concatenate(phases, axis=-1)
+
+
+def depth_to_space2x(x: jnp.ndarray, out_ch: int) -> jnp.ndarray:
+    """[B,H,W,4*O] phase-major channels -> [B,2H,2W,O]."""
+    b, h, w, _ = x.shape
+    x = x.reshape(b, h, w, 2, 2, out_ch)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * 2, w * 2, out_ch)
+
+
+def subpixel_head_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: jnp.ndarray) -> jnp.ndarray:
+    """Equivalent of ``conv4x4_SAME(upsample2x_nearest(x), kernel) + bias``
+    computed at pre-upsample resolution (see collapse_head_kernel)."""
+    import jax
+
+    kc = collapse_head_kernel(kernel)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kc.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(x, kc, (1, 1), "SAME",
+                                     dimension_numbers=dn)
+    return depth_to_space2x(y, kernel.shape[-1]) + bias
 
 
 class Encoder(nn.Module):
@@ -86,6 +139,11 @@ class SpadeGenerator(nn.Module):
     # See layers.SPADE.fuse_gb: True for single-chip speed, False on TP
     # meshes (keeps the step HLO collective-permute-free).
     fuse_spade_gb: bool = True
+    # Compute the final upsample + 4x4 head conv as an exactly-equivalent
+    # subpixel conv at pre-upsample resolution (collapse_head_kernel): the
+    # full-resolution 128-channel activation never materializes in HBM.
+    # Param tree is identical either way (checkpoints interchange freely).
+    subpixel_head: bool = True
 
     @nn.compact
     def __call__(self, latent: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
@@ -104,6 +162,7 @@ class SpadeGenerator(nn.Module):
         from moonsuperresolution_tpu.models.layers import spade_moments
 
         x_hat_up = None
+        n_blocks = len(self.channel_plan)
         for i, ch in enumerate(self.channel_plan):
             x = SpadeResidualBlock(ch, alpha=self.alpha, stats=self.stats,
                                    dtype=self.dtype,
@@ -111,6 +170,10 @@ class SpadeGenerator(nn.Module):
                                    fuse_gb=self.fuse_spade_gb,
                                    name=f"resblock_{i}")(
                 x, source, input_normalized=x_hat_up)
+            if i + 1 == n_blocks and self.subpixel_head:
+                # The head runs at pre-upsample resolution (below); the
+                # normalized tensor would be dead code.
+                break
             # 2x nearest upsampling duplicates every element 4x, so the next
             # block's SPADE moments AND normalized input equal the upsampled
             # pre-upsample results — compute both BEFORE upsampling (4x less
@@ -122,11 +185,26 @@ class SpadeGenerator(nn.Module):
             xs = x.astype(sdt)
             mean, var = spade_moments(xs, self.stats)
             x_hat = (xs - mean) * jnp.reciprocal(jnp.sqrt(var + 1e-5))
-            x_hat_up = upsample2x_nearest(x_hat)
+            # Cast to compute dtype BEFORE upsampling: SPADE's consumer
+            # casts ``normalized`` to dtype anyway, so this is bitwise
+            # identical — and the upsampled tensor is written/read at half
+            # the bytes when stats run in f32 over bf16 compute.
+            x_hat_up = upsample2x_nearest(x_hat.astype(self.dtype))
             x = upsample2x_nearest(x)
-        x = leaky_relu(x, 0.2)
-        x = nn.Conv(1, (4, 4), padding="SAME", kernel_init=glorot_uniform,
-                    dtype=self.dtype, name="head")(x)
+        if self.subpixel_head:
+            # leaky_relu commutes with nearest upsampling (elementwise), so
+            # activation + head both run at quarter resolution; the phase
+            # conv + depth-to-space is exactly the reference's
+            # UpSampling2D -> LeakyReLU -> Conv2D(1, 4) (networks.py:55-57).
+            k_head, b_head = _ConvParams(1, self.channel_plan[-1], kernel=4,
+                                         name="head")()
+            x = subpixel_head_conv(leaky_relu(x, 0.2),
+                                   k_head.astype(self.dtype),
+                                   b_head.astype(self.dtype))
+        else:
+            x = leaky_relu(x, 0.2)
+            x = nn.Conv(1, (4, 4), padding="SAME", kernel_init=glorot_uniform,
+                        dtype=self.dtype, name="head")(x)
         # DEM output in float32 for the loss/denormalization math.
         return x.astype(jnp.float32)
 

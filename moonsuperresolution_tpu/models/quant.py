@@ -136,6 +136,17 @@ class QuantizedSpadeGenerator:
     # conv-result HBM write + dequant read traffic).  String, so the frozen
     # dataclass stays hashable as a jit static argument.
     acc_dtype: str = "int32"
+    # SPADE-moment input dtype: "bfloat16" streams the activations into the
+    # ones-matmul moments at half the bytes (accumulation stays f32 via
+    # preferred_element_type — the MXU's native mode; the old f32 input
+    # forced a slow f32 matmul) and materializes the normalized tensor as
+    # bf16 instead of f32.  "float32" restores the exact-moment path.
+    # Deviation bounded by tests/test_quant.py either way.
+    moments_dtype: str = "bfloat16"
+    # Subpixel head: exact phase-conv + depth-to-space equivalent of the
+    # final upsample + 4x4 conv (networks.py::collapse_head_kernel) — the
+    # full-resolution 128-channel bf16 activation never materializes.
+    subpixel_head: bool = True
 
     # ------------------------------------------------------------- quantize
 
@@ -172,6 +183,28 @@ class QuantizedSpadeGenerator:
     def _acc(self):
         return jnp.bfloat16 if self.acc_dtype == "bfloat16" else jnp.int32
 
+    def _normalize(self, x):
+        """Moments + normalized tensor.  With moments_dtype="bfloat16" the
+        two-pass centered scheme (layers.spade_moments_centered) streams the
+        bf16 activations directly — exact bf16-dot mean, cancellation-free
+        centered variance — and the normalized tensor materializes as bf16;
+        no f32 copy of the activations ever hits HBM.  "float32" restores
+        the single-pass f32 path (exact parity with the bf16 generator)."""
+        from moonsuperresolution_tpu.models.layers import (
+            spade_moments,
+            spade_moments_centered,
+        )
+
+        if self.moments_dtype == "bfloat16":
+            mean, var = spade_moments_centered(x, self.stats)
+        else:
+            mean, var = spade_moments(x.astype(jnp.float32), self.stats)
+        normalized = (x.astype(jnp.float32) - mean) * jnp.reciprocal(
+            jnp.sqrt(var + self.epsilon))
+        if self.moments_dtype == "bfloat16":
+            normalized = normalized.astype(self.dtype)
+        return normalized
+
     def _spade(self, qs, x, mask, normalized=None, scales=None,
                record=None, site: str = ""):
         mask = resize_nearest(mask, (x.shape[1], x.shape[2]))
@@ -185,12 +218,7 @@ class QuantizedSpadeGenerator:
         f = gb.shape[-1] // 2
         gamma, beta = gb[..., :f], gb[..., f:]
         if normalized is None:
-            from moonsuperresolution_tpu.models.layers import spade_moments
-
-            xs = x.astype(jnp.float32)
-            mean, var = spade_moments(xs, self.stats)
-            normalized = (xs - mean) * jnp.reciprocal(
-                jnp.sqrt(var + self.epsilon))
+            normalized = self._normalize(x)
         return gamma * normalized.astype(self.dtype) + beta
 
     def _resblock(self, qb, x, mask, input_normalized=None, scales=None,
@@ -254,25 +282,32 @@ class QuantizedSpadeGenerator:
              + jnp.asarray(qparams["dense"]["bias"], self.dtype))
         x = x.reshape(-1, sw, sw, self.channel_plan[0])
         source = source.astype(self.dtype)
-        from moonsuperresolution_tpu.models.layers import spade_moments
-        from moonsuperresolution_tpu.models.networks import upsample2x_nearest
+        from moonsuperresolution_tpu.models.networks import (
+            subpixel_head_conv,
+            upsample2x_nearest,
+        )
 
         scales = qparams.get("act_scales")
         x_hat_up = None
-        for i in range(len(self.channel_plan)):
+        n_blocks = len(self.channel_plan)
+        for i in range(n_blocks):
             x = self._resblock(qparams[f"resblock_{i}"], x, source,
                                input_normalized=x_hat_up, scales=scales,
                                record=_record, prefix=f"r{i}")
+            if i + 1 == n_blocks and self.subpixel_head:
+                break
             # pre-upsample moments + normalization, same trick as
             # models/networks.py::SpadeGenerator (mathematically identical;
             # f32 accumulation order differs, so equality is within ulps)
-            xs = x.astype(jnp.float32)
-            mean, var = spade_moments(xs, self.stats)
-            x_hat = (xs - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
-            x_hat_up = upsample2x_nearest(x_hat)
+            x_hat_up = upsample2x_nearest(self._normalize(x))
             x = upsample2x_nearest(x)
         x = jax.nn.leaky_relu(x, 0.2)
-        x = _conv_bf16(x, qparams["head"]["kernel"], qparams["head"]["bias"])
+        k_head = jnp.asarray(qparams["head"]["kernel"], self.dtype)
+        b_head = jnp.asarray(qparams["head"]["bias"], self.dtype)
+        if self.subpixel_head:
+            x = subpixel_head_conv(x, k_head, b_head)
+        else:
+            x = _conv_bf16(x, k_head, b_head)
         return x.astype(jnp.float32)
 
 

@@ -86,6 +86,7 @@ class GauGANTrainer:
             channel_plan=tuple(m.channel_plan),
             dtype=dtype, stats_dtype=sdtype,
             fuse_spade_gb=m.fuse_spade_gb,
+            subpixel_head=m.subpixel_head,
         )
         self.discriminator = SpadeDiscriminator(
             downsample_factor=m.disc_filters, alpha=m.alpha, dtype=dtype)

@@ -77,6 +77,10 @@ from moonsuperresolution_tpu.parallel import distributed
 
 pid = int(sys.argv[1])
 ckdir = sys.argv[3]
+variant = sys.argv[4] if len(sys.argv) > 4 else "cnn_spade"
+mesh_shape = tuple(int(v) for v in sys.argv[5].split("x")) \
+    if len(sys.argv) > 5 else (8, 1)
+min_dim = int(sys.argv[6]) if len(sys.argv) > 6 else 512
 distributed.initialize(
     coordinator_address=sys.argv[2], num_processes=2, process_id=pid
 )
@@ -99,15 +103,21 @@ cfg = TrainConfig(
     # Tiny channel plan: the test validates multi-host *plumbing* (global
     # mesh, data shards, cross-process psum, collective checkpoint), not
     # model scale — the reference-width plan made two concurrent XLA
-    # compiles blow past the test timeout on small CI hosts.
-    model=ModelConfig(variant="cnn_spade", image_size=64, latent_dim=16,
-                      channel_plan=(32, 32, 32, 16, 16, 8),
-                      encoder_filters=8, disc_filters=8),
+    # compiles blow past the test timeout on small CI hosts.  The gaugan
+    # variant widens the first two blocks to 64 so min_dim=64 TP-shards
+    # them (fuse_spade_gb off: fused gamma/beta forces permutes under TP).
+    model=ModelConfig(variant=variant, image_size=64, latent_dim=16,
+                      channel_plan=((64, 64, 32, 32, 16, 8)
+                                    if variant == "gaugan"
+                                    else (32, 32, 32, 16, 16, 8)),
+                      encoder_filters=8, disc_filters=8,
+                      fuse_spade_gb=mesh_shape[1] == 1),
     batch_size=8,
 )
 tr = GauGANTrainer(cfg)
-mesh = make_mesh((8, 1))  # global: 4 local devices x 2 processes
-state = shard_state_for_dp_tp(tr.init(jax.random.PRNGKey(0)), mesh)
+mesh = make_mesh(mesh_shape)  # global: 4 local devices x 2 processes
+state = shard_state_for_dp_tp(tr.init(jax.random.PRNGKey(0)), mesh,
+                              min_dim=min_dim)
 
 rng = np.random.default_rng(0)
 src = rng.standard_normal((8, 64, 64, 2)).astype(np.float32) * 0.2
@@ -227,6 +237,78 @@ def test_two_process_train_step_and_checkpoint(tmp_path):
     state, ref2, _ = tr.train_step(state, src, tgt, jax.random.PRNGKey(2))
     m1 = parse(outs[0], "METRICS1")
     m2 = parse(outs[0], "METRICS2")
+    for k in m1:
+        np.testing.assert_allclose(m1[k], float(ref1[k]), rtol=2e-3,
+                                   atol=1e-4)
+    for k in m2:
+        np.testing.assert_allclose(m2[k], float(ref2[k]), rtol=2e-3,
+                                   atol=1e-4)
+
+
+@pytest.mark.skipif(os.environ.get("MOONSR_SKIP_MP") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_gaugan_dp_tp(tmp_path):
+    """Full *gaugan* train step (discriminator phase + two Adams) across 2
+    real processes on a (4, 2) DP x TP mesh (VERDICT r3 item 3): the disc
+    hinge phase, the frozen-disc generator phase, and the TP kernel
+    shardings all exercise cross-process collectives; metrics must match a
+    single-process unsharded run, and the multi-host Orbax round trip now
+    carries BOTH optimizer states.  Reference semantics: model.py:451-504."""
+    import json
+
+    import numpy as np
+
+    procs = _launch_workers(tmp_path, _TRAIN_WORKER,
+                            extra_args=(str(tmp_path / "ckpt"), "gaugan",
+                                        "4x2", "64"))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1500)
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"proc {i} TRAIN OK" in out, out
+
+    def parse(out, tag):
+        for line in out.splitlines():
+            if line.startswith(tag + " "):
+                return json.loads(line[len(tag) + 1 :])
+        raise AssertionError(f"{tag} not found in:\n{out}")
+
+    for tag in ("METRICS1", "METRICS2"):
+        m0, m1 = parse(outs[0], tag), parse(outs[1], tag)
+        assert m0.keys() == m1.keys()
+        for k in m0:
+            np.testing.assert_allclose(m0[k], m1[k], rtol=1e-5, atol=1e-6)
+
+    # Single-process reference (identical init/data/keys, no mesh): the
+    # two-phase GAN step's metrics include disc_loss, so the comparison
+    # pins the discriminator phase's cross-process behavior too.
+    import jax
+    import jax.numpy as jnp
+
+    from moonsuperresolution_tpu.config import ModelConfig, TrainConfig
+    from moonsuperresolution_tpu.train.trainers import GauGANTrainer
+
+    cfg = TrainConfig(
+        model=ModelConfig(variant="gaugan", image_size=64, latent_dim=16,
+                          channel_plan=(64, 64, 32, 32, 16, 8),
+                          encoder_filters=8, disc_filters=8,
+                          fuse_spade_gb=False),
+        batch_size=8,
+    )
+    tr = GauGANTrainer(cfg)
+    state = tr.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.standard_normal((8, 64, 64, 2)).astype(np.float32)
+                      * 0.2)
+    tgt = jnp.asarray(rng.standard_normal((8, 64, 64, 1)).astype(np.float32)
+                      * 0.2)
+    state, ref1, _ = tr.train_step(state, src, tgt, jax.random.PRNGKey(1))
+    state, ref2, _ = tr.train_step(state, src, tgt, jax.random.PRNGKey(2))
+    m1 = parse(outs[0], "METRICS1")
+    m2 = parse(outs[0], "METRICS2")
+    assert "disc_loss" in m1, sorted(m1)
     for k in m1:
         np.testing.assert_allclose(m1[k], float(ref1[k]), rtol=2e-3,
                                    atol=1e-4)

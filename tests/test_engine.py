@@ -165,10 +165,10 @@ class TestStreamingEngine:
     PRNG keys, windowed fill bit-exact; the only numeric difference is the
     banded cubic /16 upsample (explicit taps vs cv2)."""
 
-    def _run_both(self, tmp_path, rng, holes):
+    def _run_both(self, tmp_path, rng, holes, h=296, w=420):
         td = str(tmp_path)
         # raster dims divisible by 4 for the streaming area downscale
-        dem, _ = _synthetic_pair(td, rng, h=296, w=420, holes=holes)
+        dem, _ = _synthetic_pair(td, rng, h=h, w=w, holes=holes)
         out_ram = os.path.join(td, "ram")
         out_st = os.path.join(td, "st")
 
@@ -203,6 +203,19 @@ class TestStreamingEngine:
         np.testing.assert_allclose(mean_a[cov], mean_b[cov], atol=0.02)
         np.testing.assert_allclose(maps["std"][0][cov], maps["std"][1][cov],
                                    atol=0.02)
+
+    def test_matches_in_ram_partial_tail_raster(self, tmp_path, rng):
+        """Production-raster shape class: quarter height 30 (hq % 4 == 2,
+        h16 rounds up) -> the /16 synth has a clipped 2-row tail group.
+        The original banded cv2 call computed an empty output here and
+        crashed the production streaming run (lr_synth._clipped_box_row)."""
+        maps = self._run_both(tmp_path, rng, holes=False, h=120, w=420)
+        good_a, good_b = maps["good"]
+        np.testing.assert_array_equal(good_a > 0, good_b > 0)
+        mean_a, mean_b = maps["mean"]
+        cov = good_a > 0
+        assert cov.mean() > 0.5
+        np.testing.assert_allclose(mean_a[cov], mean_b[cov], atol=0.02)
 
     def test_sharded_streaming_merges_bit_exact(self, tmp_path, rng):
         """2-shard streaming run + stream-merge == single streaming run,

@@ -95,6 +95,69 @@ def test_upsample2x_nearest(rng):
     np.testing.assert_array_equal(y, want)
 
 
+def test_subpixel_head_conv_exact(rng):
+    """collapse_head_kernel + depth_to_space == upsample2x -> SAME 4x4 conv,
+    at f32 rounding, including boundaries (networks.py::subpixel_head_conv)."""
+    from moonsuperresolution_tpu.models.networks import subpixel_head_conv
+
+    x = jnp.asarray(rng.standard_normal((2, 7, 9, 5)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((4, 4, 5, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((3,)).astype(np.float32))
+    dn = jax.lax.conv_dimension_numbers((2, 14, 18, 5), k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    ref = jax.lax.conv_general_dilated(
+        upsample2x_nearest(x), k, (1, 1), "SAME", dimension_numbers=dn) + b
+    got = subpixel_head_conv(x, k, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_generator_subpixel_head_parity(rng):
+    """subpixel_head=True matches the literal upsample+conv generator on the
+    SAME param tree (structure unchanged — checkpoints interchange)."""
+    gen_sp = SpadeGenerator(image_size=64, channel_plan=(64, 32),
+                            subpixel_head=True)
+    gen_rf = SpadeGenerator(image_size=64, channel_plan=(64, 32),
+                            subpixel_head=False)
+    lat = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    src = jnp.asarray(rng.standard_normal((2, 64, 64, 2)).astype(np.float32))
+    p = gen_sp.init(jax.random.PRNGKey(0), lat, src)["params"]
+    p2 = gen_rf.init(jax.random.PRNGKey(0), lat, src)["params"]
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+    out_sp = np.asarray(gen_sp.apply({"params": p}, lat, src))
+    out_rf = np.asarray(gen_rf.apply({"params": p}, lat, src))
+    assert out_sp.shape == out_rf.shape  # 2 blocks -> sw * 2^2 spatial
+    np.testing.assert_allclose(out_sp, out_rf, rtol=1e-4, atol=1e-5)
+
+
+def test_spade_moments_centered_accuracy(rng):
+    """The two-pass bf16 moments must survive the mean >> std regime that
+    breaks single-pass bf16 E[x^2]-E[x]^2 (catastrophic cancellation)."""
+    from moonsuperresolution_tpu.models.layers import (
+        spade_moments,
+        spade_moments_centered,
+    )
+
+    x = (rng.standard_normal((4, 16, 16, 8)).astype(np.float32) * 0.5
+         + 30.0)  # mean >> std: worst case for cancellation
+    xb = jnp.asarray(x).astype(jnp.bfloat16)  # what the quant path holds
+    # ground truth: exact f32 single-pass moments of the SAME bf16 data
+    want_m, want_v = spade_moments(xb.astype(jnp.float32), "batch")
+    got_m, got_v = spade_moments_centered(xb, "batch")
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-3)
+    # ... while single-pass E[x^2]-E[x]^2 with bf16-rounded squares is off
+    # by orders of magnitude in this regime (the bug this scheme replaces):
+    s1 = jnp.mean(xb, axis=(0, 1, 2))
+    s2 = jnp.mean(xb * xb, axis=(0, 1, 2))
+    naive_v = (s2.astype(jnp.float32) - s1.astype(jnp.float32) ** 2)
+    naive_err = float(jnp.max(jnp.abs(naive_v - want_v.squeeze())
+                              / want_v.squeeze()))
+    assert naive_err > 0.2, naive_err
+
+
 def test_residual_block_identity_skip(rng):
     """Same channel count -> identity skip, no spade_3/conv_3 params
     (blocks.py:20-27)."""
