@@ -4,7 +4,11 @@ Measures the production inference path — on-device patch extraction,
 normalization, GauGAN generator forwards, Gaussian-weighted uncertainty
 blending — in patches/sec on one chip, i.e. the work process_full_tiles.py
 does per tile in the reference's production config (run_GAN.sh:24-26:
-image 512 / stride 64 / batch 12 / 1x V100 / 6 h wall limit).
+image 512 / stride 64 / batch 12 / 1x V100 / 6 h wall limit).  One knob
+deviates from run_GAN.sh: batch is 16, not 12 (BENCH_BATCH overrides) —
+529 patches/tile divides neither, and the recorded round-2 batch sweep
+(COVERAGE.md) showed B12/B16/B32 within noise on this chip, so the larger
+batch is not inflating the headline.
 
 Baseline derivation (the reference publishes no numbers, BASELINE.md):
 the production SLURM config must finish <= 547,515 patch forwards

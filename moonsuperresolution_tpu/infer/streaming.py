@@ -150,10 +150,22 @@ def process_map_streaming(engine, progress: bool = True,
         band[np.isnan(band)] = nv
         return band
 
+    # Per-band phase timing for the pod-projection record (VERDICT r4 #5):
+    # prep_wall_s   = wall time spent inside prep_band on the prefetch thread
+    #                 (serial host work that does NOT shrink with chip count),
+    # prep_exposed_s = time the main loop actually blocked on prep_fut.result()
+    #                 (device stall on prep — the only prep cost the device
+    #                 sees when overlap works),
+    # device_busy_s = wall time inside run_tiles_serial per band.
+    prep_wall_s = [0.0]
+    prep_exposed_s = [0.0]
+    device_busy_s = [0.0]
+
     def prep_band(py: int):
         """Host work for one tile-row band: windowed ortho fill + LR-DEM
         synthesis + padded slab assembly.  Runs one band ahead of the
         device on the prefetch thread."""
+        tb = time.perf_counter()
         a = max(0, py - halo)
         b = min(h, py + t + halo)
         img_band = fill_nodata_window(
@@ -167,6 +179,7 @@ def process_map_streaming(engine, progress: bool = True,
         r0 = a - (py - halo)   # offset of first real row inside the band
         band_img[r0 : r0 + (b - a), halo : halo + w] = img_band
         band_dem[r0 : r0 + (b - a), halo : halo + w] = dem_band
+        prep_wall_s[0] += time.perf_counter() - tb
         return band_img, band_dem
 
     def write_band(mean_row, std_row, good_row, hh):
@@ -187,7 +200,9 @@ def process_map_streaming(engine, progress: bool = True,
     try:
         prep_fut = prep_pool.submit(prep_band, bands[0]) if bands else None
         for bi, py in enumerate(bands):
+            tw = time.perf_counter()
             band_img, band_dem = prep_fut.result()
+            prep_exposed_s[0] += time.perf_counter() - tw
             prep_fut = (prep_pool.submit(prep_band, bands[bi + 1])
                         if bi + 1 < len(bands) else None)
 
@@ -209,8 +224,10 @@ def process_map_streaming(engine, progress: bool = True,
                 _g[:_hh, px : px + ww] = np.asarray(good_t)[:_hh, :ww]
 
             tiles = [(px, py) for px in tiles_x if px < w]
+            td = time.perf_counter()
             engine.run_tiles_serial(tiles, commit, progress=False,
                                     slab_provider=provider)
+            device_busy_s[0] += time.perf_counter() - td
             n_tiles += len(tiles)
             if writers:
                 if write_fut is not None:
@@ -265,4 +282,7 @@ def process_map_streaming(engine, progress: bool = True,
         "streaming": True,
         "shard_index": shard_index,
         "num_shards": num_shards,
+        "prep_wall_s": prep_wall_s[0],
+        "prep_exposed_s": prep_exposed_s[0],
+        "device_busy_s": device_busy_s[0],
     }

@@ -146,6 +146,27 @@ def main():
     # host work not hidden under the tile phase (the <5-min composition
     # cares about this, not the phase sum)
     stats["host_exclusive_s"] = stats["total_s"] - stats["tiles_s"]
+    if a.streaming and "device_busy_s" in stats:
+        # Hardened v5e-8 projection (VERDICT r4 #5): the device phase
+        # divides by 8 chips, but the per-band host prep (ortho fill + LR
+        # taps + slab assembly, measured serially on THIS host) only
+        # shrinks with host cores.  A v5e-8 host has >= 8 usable cores
+        # (production pods ship 100+; this bench host has 1), and the fill
+        # + LZW stages are already pool-parallel, so prep_wall_s/8 is the
+        # conservative host-side bound.  Note the synthetic rasters are
+        # hole-free: the nodata-fill path (the reference's griddata step,
+        # process_full_tiles.py:184-212) contributes ~0 to prep here.
+        host_cores = 8
+        stats["projection_v5e8"] = {
+            "formula": "max(device_busy_s/8, prep_wall_s/host_cores)"
+                       " + prep_exposed_s + preprocess_s + save_s",
+            "assumed_host_cores": host_cores,
+            "seconds": (max(stats["device_busy_s"] / 8.0,
+                            stats["prep_wall_s"] / host_cores)
+                        + stats["prep_exposed_s"]
+                        + stats["preprocess_s"] + stats["save_s"]),
+            "synthetic_rasters_hole_free": True,
+        }
     stats["quantize"] = a.quantize
     stats["image_size"] = a.image_size
     stats["stride"] = a.stride

@@ -93,6 +93,37 @@ def main():
             f.write(txt)
         print("HLO written to /tmp/int8_fwd_hlo.txt", len(txt), "bytes")
 
+    if os.environ.get("PROF_TRACE") == "1":
+        # Device trace of the int8 forward; per-op self-times parsed out of
+        # the xspace with tensorboard_plugin_profile so the conclusions can
+        # go in PROFILE.md without a TensorBoard UI.
+        trace_dir = "/tmp/int8_trace"
+        import glob
+        import shutil
+        shutil.rmtree(trace_dir, ignore_errors=True)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(4):
+                out = int8_fwd(qg, z, src)
+            jax.block_until_ready(out)
+        xs = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                       recursive=True)
+        print("xspace files:", xs)
+        if xs:
+            from tensorboard_plugin_profile.convert import (
+                raw_to_tool_data as rttd)
+            for tool in ("framework_op_stats", "op_profile"):
+                try:
+                    data = rttd.xspace_to_tool_data(xs, tool, params={})
+                    blob = data[0] if isinstance(data, tuple) else data
+                    if isinstance(blob, bytes):
+                        blob = blob.decode("utf-8", "replace")
+                    path = f"/tmp/int8_{tool}.json"
+                    with open(path, "w") as f:
+                        f.write(blob)
+                    print(f"{tool} written to {path} ({len(blob)} bytes)")
+                except Exception as e:
+                    print(f"{tool} failed: {type(e).__name__}: {e}")
+
     # --- 4. full tile program, int8_static
     def model_fn(p, source, rng):
         mean, logvar = trainer.encoder.apply({"params": p["encoder"]}, source)
