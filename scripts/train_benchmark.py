@@ -61,14 +61,15 @@ def measure_recipe(name: str, steps: int) -> dict:
     float(np.asarray(fake).mean())  # readback: force full drain
     dt = (time.perf_counter() - t0) / steps
 
-    # Validation step time (no grads, no donation).
+    # Validation step time (no grads, no donation).  val_step returns
+    # (metrics dict, fake image) — see train/loop.py:230.
     vsrc, vtgt = batches[-1]
-    vm = tr.val_step(state.params, vsrc, vtgt, jax.random.PRNGKey(99))
-    jax.block_until_ready(vm)
+    vm, vf = tr.val_step(state.params, vsrc, vtgt, jax.random.PRNGKey(99))
+    jax.block_until_ready((vm, vf))
     t0 = time.perf_counter()
     for i in range(steps):
-        vm = tr.val_step(state.params, vsrc, vtgt, jax.random.PRNGKey(i))
-    float(np.asarray(list(vm.values())[0]))
+        vm, vf = tr.val_step(state.params, vsrc, vtgt, jax.random.PRNGKey(i))
+    float(np.asarray(vf).mean())  # readback: force full drain
     vdt = (time.perf_counter() - t0) / steps
 
     return {
