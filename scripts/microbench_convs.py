@@ -50,27 +50,69 @@ def conv_flops(b, h, w, cin, cout, k):
     return 2.0 * b * h * w * k * k * cin * cout
 
 
-def timeit(fn, *args, iters=None):
-    iters = iters or int(os.environ.get("MB_ITERS", "8"))
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(conv, x, k, iters=None):
+    """Time ``iters`` dependent conv executions INSIDE one jitted program.
+
+    The axon runtime is a tunneled TPU: per-dispatch round-trip latency is
+    seconds, so timing eager per-call (the first version of this script)
+    measures the tunnel, not the MXU.  Here a fori_loop perturbs the KERNEL
+    with the previous iteration's first output element — a true data
+    dependency that forces re-execution (no CSE/hoisting) at negligible
+    overhead (the kernel is KB-sized; the conv reads MBs)."""
+    # 64 dependent convs per program: the ~25 ms tunnel dispatch RTT is
+    # then <10% of even the fastest shape's loop time.
+    iters = iters or int(os.environ.get("MB_ITERS", "64"))
+
+    @jax.jit
+    def many(x, k):
+        def body(i, carry):
+            kk, feed = carry
+            kk = (kk + feed).astype(k.dtype)
+            y = conv(x, kk)
+            # The dependency must CONSUME EVERY OUTPUT element or XLA
+            # dead-code-eliminates the conv down to the consumed slice
+            # (a y[0]-only feed measured 1400 "TFLOP/s").  max() touches
+            # all of y and, unlike a channel-sum, cannot be folded back
+            # into the conv (sum_c y = conv(x, sum_c k)).  Cost: one
+            # memory-bandwidth pass over y per iteration — the reported
+            # rates are conservative by bytes(y)/819GB/s per conv (~5-15%,
+            # ~35% for the output-heavy gb shapes).
+            f = jnp.max(y).astype(jnp.float32)
+            # feed in {-1, 0, 1}: keeps int8 kernels from saturating
+            return kk, jnp.clip(f, -1, 1).astype(k.dtype)
+        kk, _ = jax.lax.fori_loop(
+            0, iters, body, (k, jnp.asarray(0, k.dtype)))
+        # Return ONE scalar: np.asarray on the full conv output would drag
+        # hundreds of MB through the tunnel and dominate the measurement.
+        return jnp.max(conv(x, kk)).astype(jnp.float32)
+
+    # TWO readback-timed warmups: block_until_ready can return before the
+    # tunnel drains, and the first real execution absorbs a pathologically
+    # slow lazy upload of the inputs (measured ~134 s for 537 MB — the
+    # steady-state tunnel moves >500 MB/s, first-touch does not).
+    float(np.asarray(many(x, k)))
+    float(np.asarray(many(x, k)))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    # readback guard: remote-attached runtimes can return early
-    float(np.asarray(out).ravel()[0])
-    return (time.perf_counter() - t0) / iters
+    out = many(x, k)
+    float(np.asarray(out))  # readback: tunnel can return early
+    return (time.perf_counter() - t0) / (iters + 1)
 
 
 def main():
-    rng = np.random.default_rng(0)
     results = []
     for label, b, h, w, cin, cout, k in SHAPES:
-        x8 = jnp.asarray(rng.integers(-127, 127, (b, h, w, cin)), jnp.int8)
-        k8 = jnp.asarray(rng.integers(-127, 127, (k, k, cin, cout)), jnp.int8)
-        xb = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.bfloat16)
-        kb = jnp.asarray(rng.standard_normal((k, k, cin, cout)), jnp.bfloat16)
+        # Inputs are generated ON DEVICE: a host->device upload of these
+        # tensors pays a ~4 MB/s first-touch penalty through the tunnel
+        # (134 s for 537 MB, measured) that dwarfs everything else.
+        key = jax.random.PRNGKey(0)
+        kx, kk_, kxb, kkb = jax.random.split(key, 4)
+        x8 = jax.random.randint(kx, (b, h, w, cin), -127, 127, jnp.int32
+                                ).astype(jnp.int8)
+        k8 = jax.random.randint(kk_, (k, k, cin, cout), -127, 127, jnp.int32
+                                ).astype(jnp.int8)
+        xb = jax.random.normal(kxb, (b, h, w, cin), jnp.bfloat16)
+        kb = jax.random.normal(kkb, (k, k, cin, cout), jnp.bfloat16)
+        jax.block_until_ready((x8, k8, xb, kb))
         dn = jax.lax.conv_dimension_numbers((b, h, w, cin), (k, k, cin, cout),
                                             ("NHWC", "HWIO", "NHWC"))
 
