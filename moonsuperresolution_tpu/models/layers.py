@@ -42,12 +42,27 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # Single-pass f32 moments (fused multi-output s1/s2 reduce — ONE
+        # read of x instead of jnp.mean -> jnp.var's sequential passes; the
+        # encoder's InstanceNorms were ~40% of its 5.7 ms in the round-5
+        # int8 trace, PROFILE.md §3).  E[x^2]-E[x]^2 cancellation is benign
+        # in f32 for conv-activation ranges.
         x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-        var = jnp.var(x32, axis=(1, 2), keepdims=True)
-        x_hat = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        n = x.shape[1] * x.shape[2]
+        s1 = jnp.sum(x32, axis=(1, 2), keepdims=True)
+        s2 = jnp.sum(x32 * x32, axis=(1, 2), keepdims=True)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        r = jnp.reciprocal(jnp.sqrt(var + self.epsilon))
         gamma = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         beta = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        if self.dtype == jnp.bfloat16:
+            # Inference compute mode: normalize in bf16 arithmetic so the
+            # pass reads/writes 2-byte elements and fuses with the block's
+            # LeakyReLU; mean/r are per-channel scalars rounded once.
+            x_hat = (x - mean.astype(self.dtype)) * r.astype(self.dtype)
+            return x_hat * gamma.astype(self.dtype) + beta.astype(self.dtype)
+        x_hat = (x32 - mean) * r
         return (x_hat * gamma + beta).astype(self.dtype)
 
 

@@ -55,7 +55,7 @@ def _quant_act_per_tensor(x: jnp.ndarray):
 def _qconv(x: jnp.ndarray, qk: jnp.ndarray, w_scale: jnp.ndarray,
            bias: jnp.ndarray, out_dtype=jnp.bfloat16,
            s_x=None, record=None, site: str = "",
-           acc_dtype=jnp.int32) -> jnp.ndarray:
+           acc_dtype=jnp.int32, x_quantized: bool = False) -> jnp.ndarray:
     """int8 conv: quantize x (dynamic, or with the calibrated static scale
     ``s_x`` — which removes the per-tensor max reduction), s8xs8 conv,
     dequantize.
@@ -65,8 +65,14 @@ def _qconv(x: jnp.ndarray, qk: jnp.ndarray, w_scale: jnp.ndarray,
     traffic (the accumulator itself stays wide inside the MXU; only the
     HBM materialization is rounded).  The rounding adds ~2^-9 relative
     error to activations that already carry ~0.5% quantization noise —
-    bounded by tests/test_quant.py."""
-    if s_x is None:
+    bounded by tests/test_quant.py.
+
+    ``x_quantized=True`` means x is ALREADY s8 at scale ``s_x`` — the
+    producer conv quantized it in its own epilogue (see ``_conv_bf16``'s
+    ``out_scale``), so no quantize pass is issued here."""
+    if x_quantized:
+        xq = x  # s_x is the producer's (static) scale, required
+    elif s_x is None:
         xq, s_x = _quant_act_per_tensor(x)
         if record is not None:
             # Traced recording: the calibration forward runs under jit (one
@@ -87,13 +93,28 @@ def _qconv(x: jnp.ndarray, qk: jnp.ndarray, w_scale: jnp.ndarray,
     return y.astype(out_dtype)
 
 
-def _conv_bf16(x, kernel, bias):
+def _conv_bf16(x, kernel, bias, relu: bool = False, out_scale=None):
+    """bf16 conv (+bias), optional fused relu, and — with ``out_scale`` —
+    a fused static requantize epilogue producing s8 directly.
+
+    The epilogue arithmetic (relu -> f32/scale -> round -> clip -> s8) is
+    BIT-IDENTICAL to the separate static quantize pass it replaces
+    (``_qconv``'s s_x branch); XLA fuses it into the conv's output
+    epilogue, so the bf16 activation never materializes in HBM and the
+    standalone quantize pass (10 ms/step in the round-5 trace, PROFILE.md
+    §3) disappears for these edges."""
     k = jnp.asarray(kernel, x.dtype)
     dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
                                         ("NHWC", "HWIO", "NHWC"))
-    return jax.lax.conv_general_dilated(
+    y = jax.lax.conv_general_dilated(
         x, k, (1, 1), "SAME", dimension_numbers=dn
     ) + jnp.asarray(bias, x.dtype)
+    if relu:
+        y = jax.nn.relu(y)
+    if out_scale is not None:
+        return jnp.clip(jnp.round(y.astype(jnp.float32) / out_scale),
+                        -127, 127).astype(jnp.int8)
+    return y
 
 
 def _quantize_conv(p):
@@ -197,24 +218,40 @@ class QuantizedSpadeGenerator:
 
         if self.moments_dtype == "bfloat16":
             mean, var = spade_moments_centered(x, self.stats)
+            # Normalize in bf16 arithmetic: one bf16-in/bf16-out elementwise
+            # chain that fuses into the consumer, instead of an f32
+            # normalized tensor + separate downcast pass (0.53 ms/step in
+            # the round-5 trace).  mean/rsqrt are per-channel scalars
+            # rounded once to bf16 (~2^-9 relative, far under the int8
+            # activation noise; bounds unchanged in tests/test_quant.py).
+            r = jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+            normalized = (x - mean.astype(self.dtype)) * r.astype(self.dtype)
         else:
             mean, var = spade_moments(x.astype(jnp.float32), self.stats)
-        normalized = (x.astype(jnp.float32) - mean) * jnp.reciprocal(
-            jnp.sqrt(var + self.epsilon))
-        if self.moments_dtype == "bfloat16":
-            normalized = normalized.astype(self.dtype)
+            normalized = (x.astype(jnp.float32) - mean) * jnp.reciprocal(
+                jnp.sqrt(var + self.epsilon))
         return normalized
 
     def _spade(self, qs, x, mask, normalized=None, scales=None,
                record=None, site: str = ""):
         mask = resize_nearest(mask, (x.shape[1], x.shape[2]))
-        h = _conv_bf16(mask.astype(self.dtype), qs["conv"]["kernel"],
-                       qs["conv"]["bias"])
-        h = jax.nn.relu(h)
-        gb = _qconv(h, qs["gb"]["kernel"], qs["gb"]["scale"],
-                    qs["gb"]["bias"], out_dtype=self.dtype,
-                    s_x=None if scales is None else scales[site],
-                    record=record, site=site, acc_dtype=self._acc)
+        s_in = None if scales is None else scales[site]
+        if s_in is not None:
+            # Static path: the gb conv's input quantize runs inside the
+            # mask conv's epilogue (bit-identical; see _conv_bf16) — the
+            # bf16 h tensor never hits HBM.
+            h8 = _conv_bf16(mask.astype(self.dtype), qs["conv"]["kernel"],
+                            qs["conv"]["bias"], relu=True, out_scale=s_in)
+            gb = _qconv(h8, qs["gb"]["kernel"], qs["gb"]["scale"],
+                        qs["gb"]["bias"], out_dtype=self.dtype,
+                        s_x=s_in, x_quantized=True, acc_dtype=self._acc)
+        else:
+            h = _conv_bf16(mask.astype(self.dtype), qs["conv"]["kernel"],
+                           qs["conv"]["bias"], relu=True)
+            gb = _qconv(h, qs["gb"]["kernel"], qs["gb"]["scale"],
+                        qs["gb"]["bias"], out_dtype=self.dtype,
+                        s_x=None, record=record, site=site,
+                        acc_dtype=self._acc)
         f = gb.shape[-1] // 2
         gamma, beta = gb[..., :f], gb[..., f:]
         if normalized is None:

@@ -31,6 +31,10 @@ def timeit(fn, *args, iters=8, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def stage(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
 def main():
     image_size, batch = 512, int(os.environ.get("PROF_BATCH", "16"))
     from moonsuperresolution_tpu.config import DSRConfig, ModelConfig, TrainConfig
@@ -44,22 +48,28 @@ def main():
                           latent_dim=256, compute_dtype="bfloat16"),
         batch_size=batch,
     )
+    stage("building trainer")
     trainer = GauGANTrainer(cfg)
+    stage("init params (remote compile + run)")
     params = trainer.init(jax.random.PRNGKey(0)).params
     params = {"generator": params["generator"], "encoder": params["encoder"]}
 
     qgen = QuantizedSpadeGenerator(
         image_size=image_size,
         acc_dtype=os.environ.get("PROF_INT8_ACC", "bfloat16"))
+    stage("quantize weights")
     qg = qgen.quantize(params["generator"])
 
     rng_c = np.random.default_rng(0)
     src = jnp.asarray(rng_c.uniform(-0.5, 0.5,
                                     (batch, image_size, image_size, 2)),
                       jnp.float32)
+    stage("encoder forward")
     mean, logvar = trainer.encoder.apply({"params": params["encoder"]}, src)
     z = sample_latent(jax.random.PRNGKey(0), mean, logvar)
+    stage("calibrate (jit compile + run)")
     qg = qgen.calibrate(qg, z, src)
+    stage("timing int8 forward")
 
     # --- 1. int8 generator forward alone (static scales)
     @jax.jit
@@ -108,21 +118,9 @@ def main():
         xs = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                        recursive=True)
         print("xspace files:", xs)
-        if xs:
-            from tensorboard_plugin_profile.convert import (
-                raw_to_tool_data as rttd)
-            for tool in ("framework_op_stats", "op_profile"):
-                try:
-                    data = rttd.xspace_to_tool_data(xs, tool, params={})
-                    blob = data[0] if isinstance(data, tuple) else data
-                    if isinstance(blob, bytes):
-                        blob = blob.decode("utf-8", "replace")
-                    path = f"/tmp/int8_{tool}.json"
-                    with open(path, "w") as f:
-                        f.write(blob)
-                    print(f"{tool} written to {path} ({len(blob)} bytes)")
-                except Exception as e:
-                    print(f"{tool} failed: {type(e).__name__}: {e}")
+        # Per-op aggregation: scripts/parse_xplane.py <trace_dir> --steps 4
+        # --hlo /tmp/int8_fwd_hlo.txt  (the tensorboard_plugin_profile
+        # converter is broken against this image's protobuf/TF pair).
 
     # --- 4. full tile program, int8_static
     def model_fn(p, source, rng):
@@ -145,6 +143,24 @@ def main():
 
     out = engine.process_tile(0, 0)
     float(np.asarray(out[0]).mean())
+    if os.environ.get("PROF_TRACE_TILE") == "1":
+        # Device trace of ONE full tile program (extraction + packed scan +
+        # fold): parse with scripts/parse_xplane.py --steps 1
+        # --hlo /tmp/tile_hlo.txt for source-line attribution.
+        import shutil
+        shutil.rmtree("/tmp/tile_trace", ignore_errors=True)
+        slab_i = jnp.asarray(engine.img_padded[: g.slab, : g.slab])
+        slab_d = jnp.asarray(engine.dem_padded[: g.slab, : g.slab])
+        rng0 = jax.random.PRNGKey(0)
+        txt = engine._tile_fn.lower(
+            engine._device_params, slab_i, slab_d, rng0
+        ).compile().as_text()
+        with open("/tmp/tile_hlo.txt", "w") as f:
+            f.write(txt)
+        with jax.profiler.trace("/tmp/tile_trace"):
+            out = engine.process_tile(0, 0)
+            float(np.asarray(out[0]).mean())
+        stage("tile trace -> /tmp/tile_trace, HLO -> /tmp/tile_hlo.txt")
     n_tiles = 3
     t0 = time.perf_counter()
     for _ in range(n_tiles):
