@@ -582,7 +582,14 @@ class DEMSuperResolution:
             else:
                 img = self.img_padded[py : py + g.slab, px : px + g.slab]
                 dem = self.dem_padded[py : py + g.slab, px : px + g.slab]
-            return jnp.asarray(img), jnp.asarray(dem)
+            # Force the host->device transfer HERE, inside the staging
+            # thread: jnp.asarray is lazy on remote-attached runtimes, so
+            # without the block the bytes move only when the tile program
+            # dispatches — serially, defeating the overlap.
+            staged = jax.device_put((np.ascontiguousarray(img),
+                                     np.ascontiguousarray(dem)))
+            jax.block_until_ready(staged)
+            return staged
 
         pending = None
         commit_fut = None

@@ -55,7 +55,8 @@ def _quant_act_per_tensor(x: jnp.ndarray):
 def _qconv(x: jnp.ndarray, qk: jnp.ndarray, w_scale: jnp.ndarray,
            bias: jnp.ndarray, out_dtype=jnp.bfloat16,
            s_x=None, record=None, site: str = "",
-           acc_dtype=jnp.int32, x_quantized: bool = False) -> jnp.ndarray:
+           acc_dtype=jnp.int32, x_quantized: bool = False,
+           out_scale=None) -> jnp.ndarray:
     """int8 conv: quantize x (dynamic, or with the calibrated static scale
     ``s_x`` — which removes the per-tensor max reduction), s8xs8 conv,
     dequantize.
@@ -69,7 +70,14 @@ def _qconv(x: jnp.ndarray, qk: jnp.ndarray, w_scale: jnp.ndarray,
 
     ``x_quantized=True`` means x is ALREADY s8 at scale ``s_x`` — the
     producer conv quantized it in its own epilogue (see ``_conv_bf16``'s
-    ``out_scale``), so no quantize pass is issued here."""
+    ``out_scale``), so no quantize pass is issued here.
+
+    ``out_scale`` (scalar or per-channel [Cout]) re-quantizes the conv
+    RESULT to s8 in the epilogue: y_q = round(clip(y / out_scale)).  The
+    consumer dequantizes with the same static scale.  Halves the result's
+    HBM write and the consumer's read vs bf16 — used for the SPADE
+    gamma/beta maps, whose re-read dominates the affine+quantize passes
+    (PROFILE.md §3)."""
     if x_quantized:
         xq = x  # s_x is the producer's (static) scale, required
     elif s_x is None:
@@ -90,6 +98,14 @@ def _qconv(x: jnp.ndarray, qk: jnp.ndarray, w_scale: jnp.ndarray,
         preferred_element_type=acc_dtype,
     )
     y = acc.astype(jnp.float32) * (s_x * w_scale) + bias
+    if out_scale is not None:
+        # out_scale is the PRECOMPUTED INVERSE scale (calibrate stores
+        # ".gb_inv"): a per-channel divide in the conv epilogue measurably
+        # slowed the conv (+1.8 ms/step, trace), and an in-graph
+        # jnp.reciprocal regressed the fused tile program — so the
+        # reciprocal is taken once on the host at calibration time.
+        return jnp.clip(jnp.round(y * out_scale),
+                        -127, 127).astype(jnp.int8)
     return y.astype(out_dtype)
 
 
@@ -168,6 +184,11 @@ class QuantizedSpadeGenerator:
     # final upsample + 4x4 conv (networks.py::collapse_head_kernel) — the
     # full-resolution 128-channel bf16 activation never materializes.
     subpixel_head: bool = True
+    # Static mode only: re-quantize the SPADE gamma/beta conv results to
+    # per-channel s8 in the conv epilogue (halves their HBM write + the
+    # affine pass's read).  Adds per-channel max/254 deviation on gamma/
+    # beta — bounded by tests/test_quant.py.  False restores bf16 maps.
+    requant_gb: bool = True
 
     # ------------------------------------------------------------- quantize
 
@@ -242,9 +263,20 @@ class QuantizedSpadeGenerator:
             # bf16 h tensor never hits HBM.
             h8 = _conv_bf16(mask.astype(self.dtype), qs["conv"]["kernel"],
                             qs["conv"]["bias"], relu=True, out_scale=s_in)
+            # Re-quantized gamma/beta maps (per-channel s8): halves the gb
+            # conv's result write AND this affine pass's dominant read —
+            # the single biggest non-conv cost in the trace (PROFILE.md
+            # §3).  Deviation is bounded per channel by that channel's
+            # calibrated max/254 and measured by tests/test_quant.py.
+            s_gb = scales.get(f"{site}.gb") if self.requant_gb else None
+            s_gb_inv = scales.get(f"{site}.gb_inv") if self.requant_gb \
+                else None
+            if s_gb_inv is None:
+                s_gb = None  # old calibration without the inverse: bf16 path
             gb = _qconv(h8, qs["gb"]["kernel"], qs["gb"]["scale"],
                         qs["gb"]["bias"], out_dtype=self.dtype,
-                        s_x=s_in, x_quantized=True, acc_dtype=self._acc)
+                        s_x=s_in, x_quantized=True, acc_dtype=self._acc,
+                        out_scale=s_gb_inv)
         else:
             h = _conv_bf16(mask.astype(self.dtype), qs["conv"]["kernel"],
                            qs["conv"]["bias"], relu=True)
@@ -252,10 +284,23 @@ class QuantizedSpadeGenerator:
                         qs["gb"]["bias"], out_dtype=self.dtype,
                         s_x=None, record=record, site=site,
                         acc_dtype=self._acc)
+            if record is not None and self.requant_gb:
+                amax = jnp.max(jnp.abs(gb.astype(jnp.float32)),
+                               axis=(0, 1, 2))
+                cur = amax / 127.0
+                prev = record.get(f"{site}.gb")
+                record[f"{site}.gb"] = (cur if prev is None
+                                        else jnp.maximum(prev, cur))
         f = gb.shape[-1] // 2
         gamma, beta = gb[..., :f], gb[..., f:]
         if normalized is None:
             normalized = self._normalize(x)
+        if gb.dtype == jnp.int8:
+            # Dequantize inline: gamma_real = gq * s[c], beta_real = bq * s[c'].
+            sg = jnp.asarray(s_gb[:f], self.dtype)
+            sb = jnp.asarray(s_gb[f:], self.dtype)
+            return (gamma.astype(self.dtype) * sg * normalized.astype(self.dtype)
+                    + beta.astype(self.dtype) * sb)
         return gamma * normalized.astype(self.dtype) + beta
 
     def _resblock(self, qb, x, mask, input_normalized=None, scales=None,
@@ -300,16 +345,33 @@ class QuantizedSpadeGenerator:
         rare saturation).  Calibration inputs should span the expected
         range — engine inputs are per-patch min-max normalized to
         [-0.5, 0.5], so ranges are stable across real data."""
+        import numpy as np
+
         base = {k: v for k, v in qparams.items() if k != "act_scales"}
         rec = _calibration_scales(self, base, latent, source)
-        rec = {k: float(v) for k, v in rec.items()}
-        prev = {k: float(v) / margin  # un-margin previous records
-                for k, v in qparams.get("act_scales", {}).items()}
-        merged = {k: max(rec.get(k, 0.0), prev.get(k, 0.0))
+        # ONE batched device->host transfer per dict: per-site np.asarray
+        # would issue a ~25 ms round-trip EACH through remote-attached
+        # runtimes (~3 s for the ~110 sites, inside the engine's timed
+        # first-tile path).
+        rec = jax.device_get(rec)
+        prev = jax.device_get(qparams.get("act_scales", {}))
+        # Conv-input sites are scalars; ".gb" result sites are per-channel
+        # vectors — merge both elementwise.
+        rec = {k: np.asarray(v, np.float32) for k, v in rec.items()}
+        prev = {k: np.asarray(v, np.float32) / margin  # un-margin previous
+                for k, v in prev.items()
+                if not k.endswith("_inv")}  # derived below, not merged
+        merged = {k: np.maximum(rec.get(k, 0.0), prev.get(k, 0.0))
                   for k in set(rec) | set(prev)}
-        return dict(qparams,
-                    act_scales={k: jnp.float32(v * margin)
-                                for k, v in merged.items()})
+        out = {}
+        for k, v in merged.items():
+            sv = v * margin
+            out[k] = jnp.asarray(sv, jnp.float32)
+            if k.endswith(".gb"):
+                # Precomputed inverse for the requant epilogue (see _qconv:
+                # a divide or in-graph reciprocal there costs real time).
+                out[k + "_inv"] = jnp.asarray(1.0 / sv, jnp.float32)
+        return dict(qparams, act_scales=out)
 
     def apply(self, qparams, latent: jnp.ndarray,
               source: jnp.ndarray, _record=None) -> jnp.ndarray:

@@ -111,10 +111,14 @@ def test_static_scales_close_to_dynamic(gen_and_params):
     rel = np.sqrt(np.mean((dyn - stat) ** 2)) / max(span, 1e-9)
     assert rel < 0.01, rel
 
-    # calibrating twice keeps scales monotone non-decreasing
+    # calibrating twice keeps scales monotone non-decreasing (conv-input
+    # sites are scalars, ".gb" requant sites are per-channel vectors)
     q2 = qgen.calibrate(q_static, z, src * 1.5)
     for k, v in q_static["act_scales"].items():
-        assert float(q2["act_scales"][k]) >= float(v) * 0.999
+        if k.endswith("_inv"):  # derived inverses shrink as scales grow
+            continue
+        assert np.all(np.asarray(q2["act_scales"][k])
+                      >= np.asarray(v) * 0.999), k
 
 
 def test_engine_int8_load(tmp_path, gen_and_params):
